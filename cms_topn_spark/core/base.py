@@ -1,0 +1,97 @@
+"""One mergeable-state protocol shared by every sketch in the library.
+
+Every sketch (CMS+top-n, HLL, Bloom, KLL, t-digest, min-mask) implements the
+same surface so the Spark layer (partition build → salted shuffle → tree merge
+→ checkpoint) is written once and works for all of them:
+
+    empty(**params)      -> sketch            (class constructor)
+    add_batch(values)    -> None              (vectorized, no per-row Python)
+    merge(other)         -> sketch            (commutative + associative)
+    to_bytes()           -> bytes             (canonical little-endian layout)
+    from_bytes(b)        -> sketch            (exact inverse; round-trip == b)
+
+The serialized frame starts with a common 8-byte header::
+
+    magic  b"SKS1"  | kind u8 | version u8 | item_type u8 | flags u8
+
+followed by a kind-specific payload. ``kind`` dispatches deserialization via
+the registry below. Byte-for-byte merge determinism (north star: serialized
+``merge(merge(a,b),c) == merge(a,merge(b,c))``) is part of the contract and is
+covered by property tests.
+"""
+
+from __future__ import annotations
+
+import struct
+from abc import ABC, abstractmethod
+
+MAGIC = b"SKS1"
+HEADER = struct.Struct("<4sBBBB")
+
+KIND_CMS_TOPN = 1
+KIND_MMS = 2
+KIND_HLL = 3
+KIND_BLOOM = 4
+KIND_KLL = 5
+KIND_TDIGEST = 6
+
+_REGISTRY: dict[int, type] = {}
+
+
+class SketchError(ValueError):
+    """Raised with reference-verbatim messages for golden parity."""
+
+
+def register(kind: int):
+    def deco(cls):
+        cls.KIND = kind
+        _REGISTRY[kind] = cls
+        return cls
+
+    return deco
+
+
+class MergeableSketch(ABC):
+    KIND: int = 0
+    VERSION: int = 1
+
+    @abstractmethod
+    def add_batch(self, values, counts=None) -> None: ...
+
+    @abstractmethod
+    def merge(self, other: "MergeableSketch") -> "MergeableSketch": ...
+
+    @abstractmethod
+    def to_bytes(self) -> bytes: ...
+
+    @classmethod
+    @abstractmethod
+    def from_bytes(cls, b: bytes) -> "MergeableSketch": ...
+
+    def pack_header(self, item_type: int = 0, flags: int = 0) -> bytes:
+        return HEADER.pack(MAGIC, self.KIND, self.VERSION, item_type, flags)
+
+    @staticmethod
+    def unpack_header(b: bytes) -> tuple[int, int, int, int]:
+        magic, kind, version, item_type, flags = HEADER.unpack_from(b, 0)
+        if magic != MAGIC:
+            raise SketchError("not a serialized sketch (bad magic)")
+        return kind, version, item_type, flags
+
+
+def sketch_from_bytes(b: bytes) -> MergeableSketch:
+    """Polymorphic deserializer: dispatch on the kind byte."""
+    kind, _, _, _ = MergeableSketch.unpack_header(b)
+    cls = _REGISTRY.get(kind)
+    if cls is None:
+        raise SketchError(f"unknown sketch kind {kind}")
+    return cls.from_bytes(b)
+
+
+def merge_serialized(a: bytes | None, b: bytes | None) -> bytes | None:
+    """NULL-identity merge on serialized states (reference: expected/union.out:4-21)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return sketch_from_bytes(a).merge(sketch_from_bytes(b)).to_bytes()

@@ -1,0 +1,362 @@
+"""Count-min sketch with an attached top-n heap (the reference's core type).
+
+Semantics follow the reference extension and its golden regression outputs:
+
+- sizing ``width = ceil(e/eps)``, ``depth = ceil(ln(1/(1-conf)))``, zeroed
+  counters (cms_mms.c:292-298; pinned by expected/create.out:28-32),
+- one MurmurHash3_x64_128 per item at seed 304837963, row hashes
+  ``g_i = h1 + i*h2 (mod 2**64) mod width`` (cms_mms.c:349-372),
+- conservative ("selective") update: only counters below the item's new
+  estimate are raised (cms_mms.c:374-383), plus an order-free ``linear`` mode
+  (plain ``+= count``) whose partial states merge exactly; both satisfy
+  ``f(x) <= f̂(x) <= f(x) + eps*N`` (cms_mms.c:152-157),
+- point estimate = min over the d probed cells, 0 for unseen items
+  (cms_mms.c:425-445; expected/results.out:126-130),
+- top-n array maintenance: an item enters/updates when its estimate qualifies,
+  eviction replaces the lowest-frequency entry, output sorted frequency desc
+  with insertion-order ties (expected/add.out:44-133, expected/add_agg.out),
+- union: counters sum elementwise, candidates = union of both top-n sets
+  re-estimated against the merged counters (expected/union.out:51-88); merges
+  of sketches with different parameters or item types raise the reference's
+  verbatim errors (expected/union.out:41-49),
+- item-type stickiness: first item binds the type; mismatched adds/reads raise
+  (expected/add.out:38-43, expected/results.out:17-19).
+
+Batch adds are fully vectorized (numpy); per-unique-item work is bounded by a
+``est >= current-min`` prefilter so the Python-side top-n loop only touches
+plausible candidates. In ``conservative`` mode a batch is applied as a
+"parallel conservative" update (estimates read from the pre-batch state, cells
+raised with ``maximum.at``), which preserves the one-sided error guarantee and
+equals the reference's sequential behavior whenever the batch is
+collision-free (the regime of all golden tests).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from . import encoding as enc
+from .base import KIND_CMS_TOPN, MergeableSketch, SketchError, register
+from .murmur import MURMUR_SEED, hash128
+
+U64 = np.uint64
+
+UPDATE_CONSERVATIVE = 0
+UPDATE_LINEAR = 1
+
+_FIXED = struct.Struct("<IIIIddQQ")  # depth, width, n, topn_count, eps, conf, total, next_seq
+_ENTRY = struct.Struct("<QQI")  # freq, seq, item_len
+
+
+def sizing(eps: float, confidence: float) -> tuple[int, int]:
+    """width/depth formula, identical to the reference (cms_mms.c:292-293)."""
+    width = int(math.ceil(math.e / eps))
+    depth = int(math.ceil(math.log(1.0 / (1.0 - confidence))))
+    return depth, width
+
+
+@register(KIND_CMS_TOPN)
+class CmsTopn(MergeableSketch):
+    def __init__(
+        self,
+        n: int,
+        eps: float = 0.001,
+        confidence: float = 0.99,
+        update: str = "conservative",
+    ):
+        # parameter validation order and messages per expected/create.out:6-20
+        if n is None or int(n) <= 0:
+            raise SketchError("Number of top items has to be positive")
+        if not (0.0 < eps < 1.0):
+            raise SketchError("Error bound has to be between 0 and 1")
+        if not (0.0 < confidence < 1.0):
+            raise SketchError("Confidence interval has to be between 0 and 1")
+        self.n = int(n)
+        self.eps = float(eps)
+        self.confidence = float(confidence)
+        self.update_mode = UPDATE_CONSERVATIVE if update == "conservative" else UPDATE_LINEAR
+        self.depth, self.width = sizing(self.eps, self.confidence)
+        self.counters = np.zeros((self.depth, self.width), dtype=U64)
+        self.item_type = enc.TYPE_UNSET
+        self.total = 0  # items added (N in the eps*N bound)
+        self.next_seq = 0  # insertion sequence for tie-breaks
+        self.topn: dict[bytes, list] = {}  # item_bytes -> [freq, seq]
+
+    # ---------------- hashing ----------------
+
+    def _cols(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """(d, n) column indices: g_i = h1 + i*h2 mod 2^64 mod width."""
+        d = self.depth
+        i = np.arange(d, dtype=U64).reshape(d, 1)
+        return ((h1[None, :] + i * h2[None, :]) % U64(self.width)).astype(np.int64)
+
+    def _estimate_cols(self, cols: np.ndarray) -> np.ndarray:
+        est = self.counters[0, cols[0]]
+        for i in range(1, self.depth):
+            est = np.minimum(est, self.counters[i, cols[i]])
+        return est
+
+    # ---------------- add ----------------
+
+    def _bind_type(self, type_tag: int) -> None:
+        if self.item_type == enc.TYPE_UNSET:
+            self.item_type = type_tag
+        elif self.item_type != type_tag:
+            raise SketchError("not proper type for this cms_topn")
+
+    def add(self, value) -> "CmsTopn":
+        """Single-item add (reference-faithful sequential path). None → no-op
+        (cms_topn_add(s, NULL) returns s unchanged, expected/add.out:20-36)."""
+        if value is None:
+            return self
+        tag = enc.infer_type_tag(value)
+        self.add_batch([value], type_tag=tag)
+        return self
+
+    def add_batch(self, values, counts=None, type_tag: int | None = None) -> None:
+        vals = [v for v in values if v is not None]
+        if counts is not None:
+            counts = np.asarray(
+                [c for v, c in zip(values, counts) if v is not None], dtype=np.int64
+            )
+        if not vals:
+            return
+        if type_tag is None:
+            type_tag = enc.infer_type_tag(vals[0])
+            if type_tag == enc.TYPE_INT32 and any(
+                not (-(2**31) <= v < 2**31) for v in vals
+            ):
+                type_tag = enc.TYPE_INT64
+            # stay sticky: a sketch already bound to int64 keeps int64 encoding
+            if type_tag == enc.TYPE_INT32 and self.item_type == enc.TYPE_INT64:
+                type_tag = enc.TYPE_INT64
+        data, offsets, lengths = enc.encode_any(vals, type_tag)
+        self.add_packed(data, offsets, lengths, counts=counts, type_tag=type_tag)
+
+    def add_packed(
+        self,
+        data,
+        offsets: np.ndarray,
+        lengths: np.ndarray,
+        counts: np.ndarray | None = None,
+        type_tag: int = enc.TYPE_BINARY,
+    ) -> None:
+        """Vectorized bulk add over packed byte strings (the Spark hot path)."""
+        n_items = len(lengths)
+        if n_items == 0:
+            return
+        self._bind_type(type_tag)
+        if counts is None:
+            counts = np.ones(n_items, dtype=np.int64)
+        else:
+            counts = np.asarray(counts, dtype=np.int64)
+
+        h1, h2 = hash128(data, offsets, lengths, MURMUR_SEED)
+        # group duplicate items within the batch by their 128-bit hash
+        key = h1 ^ (h2 * U64(0x9E3779B97F4A7C15))
+        uniq, first_idx, inv = np.unique(key, return_index=True, return_inverse=True)
+        u_counts = np.bincount(inv, weights=counts).astype(np.int64)
+        uh1, uh2 = h1[first_idx], h2[first_idx]
+        cols = self._cols(uh1, uh2)
+
+        if self.update_mode == UPDATE_LINEAR:
+            add = u_counts.astype(U64)
+            for i in range(self.depth):
+                np.add.at(self.counters[i], cols[i], add)
+        else:
+            # parallel conservative update: estimates from the pre-batch state
+            est_pre = self._estimate_cols(cols)
+            newval = est_pre + u_counts.astype(U64)
+            for i in range(self.depth):
+                np.maximum.at(self.counters[i], cols[i], newval)
+
+        self.total += int(counts.sum())
+        est_post = self._estimate_cols(cols)
+
+        # ---- top-n maintenance (first-appearance order for tie parity) ----
+        # prefilter: an item can enter/update only if its estimate reaches the
+        # current minimum top-n frequency (monotone counters ⇒ members pass too)
+        if len(self.topn) >= self.n:
+            cur_min = min(e[0] for e in self.topn.values())
+            cand = np.nonzero(est_post >= U64(max(cur_min, 1)))[0]
+        else:
+            cand = np.arange(len(uniq))
+        if len(cand) == 0:
+            self.next_seq += int(n_items)
+            return
+        order = cand[np.argsort(first_idx[cand], kind="stable")]
+        offs = np.asarray(offsets, dtype=np.int64)
+        lens = np.asarray(lengths, dtype=np.int64)
+        mv = memoryview(data) if isinstance(data, (bytes, bytearray)) else memoryview(
+            np.ascontiguousarray(data)
+        )
+        base_seq = self.next_seq
+        for k in order:
+            j = int(first_idx[k])
+            item = bytes(mv[offs[j] : offs[j] + lens[j]])
+            freq = int(est_post[k])
+            ent = self.topn.get(item)
+            if ent is not None:
+                ent[0] = freq
+            elif len(self.topn) < self.n:
+                self.topn[item] = [freq, base_seq + j]
+            else:
+                evict_item, evict_ent = min(
+                    self.topn.items(), key=lambda kv: (kv[1][0], -kv[1][1])
+                )
+                if freq > evict_ent[0]:
+                    del self.topn[evict_item]
+                    self.topn[item] = [freq, base_seq + j]
+        self.next_seq = base_seq + int(n_items)
+
+    # ---------------- query ----------------
+
+    def estimate_packed(self, data, offsets, lengths) -> np.ndarray:
+        """Point estimates for a packed batch of items → int64 array."""
+        h1, h2 = hash128(data, offsets, lengths, MURMUR_SEED)
+        cols = self._cols(h1, h2)
+        return self._estimate_cols(cols).astype(np.int64)
+
+    def estimate(self, value) -> int | None:
+        """cms_topn_frequency: NULL item → None (expected/results.out:61-84)."""
+        if value is None:
+            return None
+        tag = enc.infer_type_tag(value)
+        if self.item_type != enc.TYPE_UNSET and tag != self.item_type:
+            # integers coerce to the sketch's bound integer width; anything
+            # else is the reference's type error (expected/results.out:17-19)
+            if tag == enc.TYPE_INT32 and self.item_type == enc.TYPE_INT64:
+                tag = enc.TYPE_INT64
+            elif tag == enc.TYPE_INT64 and self.item_type == enc.TYPE_INT32:
+                return 0  # value cannot fit the bound type ⇒ never added
+            else:
+                raise SketchError("not a proper cms_topn for the result type")
+        b = enc.encode_one(value, tag)
+        return int(self.estimate_packed(b, np.array([0]), np.array([len(b)]))[0])
+
+    def _ordered_entries(self) -> list[tuple[bytes, int, int]]:
+        items = [(it, int(e[0]), int(e[1])) for it, e in self.topn.items()]
+        items.sort(key=lambda t: (-t[1], t[2], t[0]))
+        return items
+
+    def topn_list(self, type_tag: int | None = None) -> list[tuple[object, int]]:
+        """The ``topn()`` SRF: [(item, frequency)] sorted frequency desc."""
+        if type_tag is not None and self.item_type != enc.TYPE_UNSET and type_tag != self.item_type:
+            raise SketchError("not a proper cms_topn for the result type")
+        tag = self.item_type
+        return [(enc.decode_one(it, tag), freq) for it, freq, _ in self._ordered_entries()]
+
+    def info(self) -> str:
+        """Verbatim info string (cms_mms.c:244-255; expected/create.out:28-32)."""
+        size_kb = len(self.to_bytes()) // 1024
+        return f"Sketch depth = {self.depth}, Sketch width = {self.width}, Size = {size_kb}kB"
+
+    # ---------------- merge ----------------
+
+    def merge(self, other: "CmsTopn") -> "CmsTopn":
+        if not isinstance(other, CmsTopn):
+            raise SketchError("cannot merge cms_topns of different types")
+        if (
+            self.n != other.n
+            or self.eps != other.eps
+            or self.confidence != other.confidence
+            or self.depth != other.depth
+            or self.width != other.width
+        ):
+            raise SketchError("cannot merge cms_topns with different parameters")
+        if (
+            self.item_type != enc.TYPE_UNSET
+            and other.item_type != enc.TYPE_UNSET
+            and self.item_type != other.item_type
+        ):
+            raise SketchError("cannot merge cms_topns of different types")
+        out = CmsTopn.__new__(CmsTopn)
+        out.n, out.eps, out.confidence = self.n, self.eps, self.confidence
+        out.update_mode = self.update_mode
+        out.depth, out.width = self.depth, self.width
+        out.counters = self.counters + other.counters
+        out.item_type = self.item_type if self.item_type != enc.TYPE_UNSET else other.item_type
+        out.total = self.total + other.total
+        # seq ranges concatenate on merge (a's items before b's), which both
+        # reproduces the golden union tie order (expected/union.out:63-68:
+        # 'two' from a sorts before 'three' from b at equal frequency) and
+        # keeps merge associative: ((a⊕b)⊕c and a⊕(b⊕c) assign identical seqs.
+        out.next_seq = self.next_seq + other.next_seq
+        cand: dict[bytes, int] = {}
+        for src, shift in ((self, 0), (other, self.next_seq)):
+            for it, e in src.topn.items():
+                seq = int(e[1]) + shift
+                if it not in cand or seq < cand[it]:
+                    cand[it] = seq
+        out.topn = {}
+        if cand:
+            items = list(cand.keys())
+            data, offsets, lengths = enc.encode_bytes_list(items)
+            h1, h2 = hash128(data, offsets, lengths, MURMUR_SEED)
+            cols = out._cols(h1, h2)
+            est = out._estimate_cols(cols).astype(np.int64)
+            ranked = sorted(
+                ((items[i], int(est[i]), cand[items[i]]) for i in range(len(items))),
+                key=lambda t: (-t[1], t[2], t[0]),
+            )
+            for it, freq, seq in ranked[: out.n]:
+                out.topn[it] = [freq, seq]
+        return out
+
+    # ---------------- serialization ----------------
+
+    def to_bytes(self) -> bytes:
+        parts = [
+            self.pack_header(item_type=self.item_type, flags=self.update_mode),
+            _FIXED.pack(
+                self.depth,
+                self.width,
+                self.n,
+                len(self.topn),
+                self.eps,
+                self.confidence,
+                self.total,
+                self.next_seq,
+            ),
+            np.ascontiguousarray(self.counters, dtype="<u8").tobytes(),
+        ]
+        for it, freq, seq in self._ordered_entries():
+            parts.append(_ENTRY.pack(freq, seq, len(it)))
+            parts.append(it)
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CmsTopn":
+        kind, version, item_type, flags = cls.unpack_header(b)
+        if kind != KIND_CMS_TOPN:
+            raise SketchError("not a serialized cms_topn")
+        pos = 8
+        depth, width, n, count, eps, conf, total, next_seq = _FIXED.unpack_from(b, pos)
+        pos += _FIXED.size
+        out = cls.__new__(cls)
+        out.n, out.eps, out.confidence = n, eps, conf
+        out.update_mode = flags
+        out.depth, out.width = depth, width
+        out.counters = (
+            np.frombuffer(b, dtype="<u8", count=depth * width, offset=pos)
+            .reshape(depth, width)
+            .copy()
+        )
+        pos += depth * width * 8
+        out.item_type = item_type
+        out.total = total
+        out.next_seq = next_seq
+        out.topn = {}
+        for _ in range(count):
+            freq, seq, ln = _ENTRY.unpack_from(b, pos)
+            pos += _ENTRY.size
+            out.topn[bytes(b[pos : pos + ln])] = [freq, seq]
+            pos += ln
+        return out
+
+    # convenience for tests
+    def __eq__(self, other) -> bool:
+        return isinstance(other, CmsTopn) and self.to_bytes() == other.to_bytes()
