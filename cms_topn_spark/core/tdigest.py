@@ -1,0 +1,163 @@
+"""Merging t-digest under the shared mergeable protocol (SURVEY.md §2.3).
+
+Follows Dunning & Ertl, "Computing Extremely Accurate Quantiles Using
+t-Digests" (2019): centroids sorted by mean, compressed with the k1 scale
+function ``k(q) = (delta / 2π) · asin(2q − 1)`` which concentrates resolution
+at the tails. Everything is deterministic (no RNG), so equal inputs produce
+byte-equal states.
+
+Exactness regime for the correctness gate: with ``delta >= π·N`` no two points
+ever share a centroid, every weight stays 1, and ``quantile(q)`` falls back to
+exact linear interpolation at rank q*(N-1) — bit-equal to DuckDB's
+``quantile_cont``. At production ``delta`` (100-1000) the published accuracy
+behavior applies.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .base import KIND_TDIGEST, MergeableSketch, SketchError, register
+
+_FIXED = struct.Struct("<dQQ")  # delta, n_centroids, n
+
+
+@register(KIND_TDIGEST)
+class TDigest(MergeableSketch):
+    def __init__(self, delta: float = 100.0):
+        if delta < 1:
+            raise SketchError("t-digest delta has to be at least 1")
+        self.delta = float(delta)
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.n = 0
+
+    # ---------------- compression ----------------
+
+    def _k(self, q: np.ndarray | float) -> np.ndarray | float:
+        return self.delta / (2 * math.pi) * np.arcsin(2 * np.clip(q, 0.0, 1.0) - 1)
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        """Merge a sorted centroid stream into at most O(delta) centroids."""
+        total = weights.sum()
+        if total == 0:
+            self.means = np.empty(0)
+            self.weights = np.empty(0)
+            return
+        out_m: list[float] = []
+        out_w: list[float] = []
+        cur_m, cur_w = means[0], weights[0]
+        cum = 0.0  # weight fully to the left of the current centroid
+        k_lo = self._k(0.0)
+        for i in range(1, len(means)):
+            proposed = cur_w + weights[i]
+            if self._k((cum + proposed) / total) - k_lo <= 1.0:
+                cur_m += (means[i] - cur_m) * (weights[i] / proposed)
+                cur_w = proposed
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                cum += cur_w
+                k_lo = self._k(cum / total)
+                cur_m, cur_w = means[i], weights[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    # ---------------- add ----------------
+
+    def add_batch(self, values, counts=None, type_tag=None) -> None:
+        arr = np.asarray(
+            [v for v in values if v is not None] if not isinstance(values, np.ndarray) else values,
+            dtype=np.float64,
+        )
+        if isinstance(values, np.ndarray):
+            arr = arr[~np.isnan(arr)]
+        if len(arr) == 0:
+            return
+        arr = np.sort(arr)
+        w = np.ones(len(arr))
+        m = np.concatenate([self.means, arr])
+        ww = np.concatenate([self.weights, w])
+        order = np.argsort(m, kind="stable")
+        self.n += len(arr)
+        self._compress(m[order], ww[order])
+
+    # ---------------- query ----------------
+
+    def quantile(self, q: float) -> float | None:
+        if self.n == 0 or len(self.means) == 0:
+            return None
+        m, w = self.means, self.weights
+        total = w.sum()
+        if np.all(w == 1.0):
+            # exact regime: identical to quantile_cont
+            t = q * (total - 1.0)
+            i = int(np.floor(t))
+            frac = t - i
+            i = min(i, len(m) - 1)
+            j = min(i + 1, len(m) - 1)
+            return float(m[i] + (m[j] - m[i]) * frac)
+        # standard mid-point interpolation between centroids
+        target = q * total
+        cum = np.cumsum(w) - w / 2.0
+        if target <= cum[0]:
+            return float(m[0])
+        if target >= cum[-1]:
+            return float(m[-1])
+        i = int(np.searchsorted(cum, target) - 1)
+        span = cum[i + 1] - cum[i]
+        frac = (target - cum[i]) / span if span > 0 else 0.0
+        return float(m[i] + (m[i + 1] - m[i]) * frac)
+
+    def quantiles(self, qs) -> list[float]:
+        return [self.quantile(q) for q in qs]
+
+    def mean(self) -> float | None:
+        if self.n == 0:
+            return None
+        return float((self.means * self.weights).sum() / self.weights.sum())
+
+    # ---------------- merge ----------------
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if not isinstance(other, TDigest) or self.delta != other.delta:
+            raise SketchError("cannot merge t-digests with different parameters")
+        out = TDigest(self.delta)
+        out.n = self.n + other.n
+        m = np.concatenate([self.means, other.means])
+        w = np.concatenate([self.weights, other.weights])
+        if len(m):
+            order = np.argsort(m, kind="stable")
+            out._compress(m[order], w[order])
+        return out
+
+    # ---------------- serialization ----------------
+
+    def to_bytes(self) -> bytes:
+        return b"".join(
+            [
+                self.pack_header(),
+                _FIXED.pack(self.delta, len(self.means), self.n),
+                np.ascontiguousarray(self.means, dtype="<f8").tobytes(),
+                np.ascontiguousarray(self.weights, dtype="<f8").tobytes(),
+            ]
+        )
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "TDigest":
+        kind, _, _, _ = cls.unpack_header(b)
+        if kind != KIND_TDIGEST:
+            raise SketchError("not a serialized t-digest")
+        delta, cnt, n = _FIXED.unpack_from(b, 8)
+        pos = 8 + _FIXED.size
+        out = cls(delta)
+        out.n = n
+        out.means = np.frombuffer(b, dtype="<f8", count=cnt, offset=pos).copy()
+        pos += cnt * 8
+        out.weights = np.frombuffer(b, dtype="<f8", count=cnt, offset=pos).copy()
+        return out
