@@ -1,0 +1,222 @@
+"""SQL-facade mirroring the reference's function surface (SURVEY.md §2.2).
+
+Name-for-name analogues of the upstream API, re-expressed over DataFrames:
+
+    cms_topn(n, e, p)                 → CmsTopn constructor (errors verbatim)
+    cms_topn_add(sketch, item)        → CmsTopn.add (kernel, golden walkthrough)
+    cms_topn_add_agg(df, col, n,e,p)  → distributed build+merge → CmsTopn
+    cms_topn_union(a, b)              → merge (kernel)
+    cms_topn_union_agg(df, state_col) → distributed merge of a sketch column
+    topn(spark, sketch, type)         → DataFrame(item, frequency)
+    cms_topn_frequency(sketch, item)  → point estimate / column-probe UDF
+    cms_topn_info(sketch)             → info string
+
+plus the companion aggregates (hll_add_agg, bloom_add_agg, kll_add_agg,
+tdigest_add_agg, mms_add_agg) sharing the same build/merge machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    Row,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..core import (
+    BloomFilter,
+    CmsTopn,
+    HyperLogLog,
+    KllSketch,
+    MinMaskSketch,
+    TDigest,
+    merge_serialized,
+    sketch_from_bytes,
+)
+from ..core import encoding as enc
+from ..operators.build import (
+    build_partials,
+    default_ingest,
+    numeric_ingest,
+    pack_arrow_array,
+    sketch_agg,
+    tree_merge_df,
+)
+
+# ---------------------------------------------------------------- cms_topn
+
+
+def cms_topn(n: int, e: float = 0.001, p: float = 0.99, update: str = "conservative") -> CmsTopn:
+    return CmsTopn(n, e, p, update=update)
+
+
+def cms_topn_add(sketch: CmsTopn | None, item) -> CmsTopn | None:
+    """NULL sketch → NULL; NULL item → unchanged (expected/add.out:4-36)."""
+    if sketch is None:
+        return None
+    return sketch.add(item)
+
+
+def cms_topn_add_agg(
+    df: DataFrame,
+    column: str,
+    n: int,
+    e: float = 0.001,
+    p: float = 0.99,
+    update: str = "linear",
+    salt_partitions: int | None = None,
+    fanin: int = 16,
+) -> CmsTopn | None:
+    """Distributed cms_topn_add_agg: validates parameters eagerly (verbatim
+    errors), builds per-partition partials, tree-merges."""
+    CmsTopn(n, e, p)  # eager parameter validation, same error order
+    return sketch_agg(
+        df.select(column),
+        lambda: CmsTopn(n, e, p, update=update),
+        default_ingest,
+        salt_partitions=salt_partitions,
+        fanin=fanin,
+    )
+
+
+def cms_topn_union(a: CmsTopn | None, b: CmsTopn | None) -> CmsTopn | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a.merge(b)
+
+
+def cms_topn_union_agg(df: DataFrame, state_col: str = "state", fanin: int = 16) -> CmsTopn | None:
+    """Merge a DataFrame column of serialized sketch states (NULLs skipped;
+    all-NULL → None, expected/union_agg.out:8-18)."""
+    states = df.select(
+        F.monotonically_increasing_id().cast("int").alias("partition_id"),
+        F.col(state_col).alias("state"),
+        F.lit(0).cast("long").alias("input_rows"),
+        F.lit(0).cast("long").alias("build_wall_ms"),
+    ).where(F.col(state_col).isNotNull())
+    if states.rdd.isEmpty():
+        return None
+    states = tree_merge_df(states, fanin)
+    acc = None
+    for r in states.collect():
+        if r["state"] is not None:
+            acc = merge_serialized(acc, bytes(r["state"]))
+    return sketch_from_bytes(acc) if acc is not None else None
+
+
+_TOPN_SCHEMAS = {
+    enc.TYPE_INT32: LongType(),
+    enc.TYPE_INT64: LongType(),
+    enc.TYPE_STRING: StringType(),
+}
+
+
+def topn(spark: SparkSession, sketch: CmsTopn | None, type_tag: int | None = None) -> DataFrame:
+    """The topn() SRF: DataFrame(item, frequency) sorted frequency desc.
+    Empty/NULL sketch → 0 rows (expected/results.out:5-15)."""
+    item_t = _TOPN_SCHEMAS.get(
+        type_tag if type_tag is not None else (sketch.item_type if sketch else enc.TYPE_STRING),
+        StringType(),
+    )
+    schema = StructType(
+        [StructField("item", item_t, True), StructField("frequency", LongType(), True)]
+    )
+    rows = [] if sketch is None else [Row(item=i, frequency=f) for i, f in sketch.topn_list(type_tag)]
+    return spark.createDataFrame(rows, schema)
+
+
+def cms_topn_frequency(sketch: CmsTopn | None, item) -> int | None:
+    if sketch is None or item is None:
+        return None
+    return sketch.estimate(item)
+
+
+def cms_topn_info(sketch: CmsTopn | None) -> str | None:
+    return None if sketch is None else sketch.info()
+
+
+def frequency_udf(sketch_bytes: bytes):
+    """Vectorized column probe: broadcast the serialized sketch, estimate a
+    whole Arrow batch per call (§3.2 of SURVEY.md — one JVM→Python crossing
+    per batch, zero per-row Python)."""
+
+    @pandas_udf(LongType())
+    def probe(items: pd.Series) -> pd.Series:
+        sk = sketch_from_bytes(sketch_bytes)
+        arr = pa.Array.from_pandas(items)
+        mask = items.notna().to_numpy()
+        out = np.zeros(len(items), dtype=np.int64)
+        if mask.any():
+            data, offsets, lengths, _ = pack_arrow_array(arr)
+            out[mask] = sk.estimate_packed(data, offsets, lengths)
+        res = pd.Series(out, dtype="Int64")
+        res[~mask] = pd.NA  # frequency(s, NULL) → NULL
+        return res
+
+    return probe
+
+
+# ------------------------------------------------------------- companions
+
+
+def hll_add_agg(
+    df: DataFrame, column: str, p: int = 14, sparse_limit: int | None = None, **kw
+) -> HyperLogLog | None:
+    return sketch_agg(df.select(column), lambda: HyperLogLog(p, sparse_limit), default_ingest, **kw)
+
+
+def bloom_add_agg(df: DataFrame, column: str, capacity: int, fpp: float = 1e-6, **kw):
+    return sketch_agg(
+        df.select(column), lambda: BloomFilter(capacity, fpp), default_ingest, **kw
+    )
+
+
+def kll_add_agg(df: DataFrame, column: str, k: int = 200, **kw) -> KllSketch | None:
+    return sketch_agg(df.select(column), lambda: KllSketch(k), numeric_ingest, **kw)
+
+
+def tdigest_add_agg(df: DataFrame, column: str, delta: float = 100.0, **kw) -> TDigest | None:
+    return sketch_agg(df.select(column), lambda: TDigest(delta), numeric_ingest, **kw)
+
+
+def mms_add_agg(
+    df: DataFrame, item_col: str, mask_col: str, e: float = 0.001, p: float = 0.99, **kw
+) -> MinMaskSketch | None:
+    def ingest(sk: MinMaskSketch, batch: pa.RecordBatch) -> None:
+        tbl = pa.Table.from_batches([batch])
+        tbl = tbl.drop_null()
+        if tbl.num_rows == 0:
+            return
+        data, offsets, lengths, tag = pack_arrow_array(tbl.column(0).combine_chunks())
+        masks = tbl.column(1).combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        sk.add_packed(data, offsets, lengths, masks, tag)
+
+    return sketch_agg(df.select(item_col, mask_col), lambda: MinMaskSketch(e, p), ingest, **kw)
+
+
+def bloom_contains_udf(bloom_bytes: bytes):
+    @pandas_udf(BooleanType())
+    def probe(items: pd.Series) -> pd.Series:
+        bf = sketch_from_bytes(bloom_bytes)
+        arr = pa.Array.from_pandas(items)
+        mask = items.notna().to_numpy()
+        out = np.zeros(len(items), dtype=bool)
+        if mask.any():
+            data, offsets, lengths, _ = pack_arrow_array(arr)
+            out[mask] = bf.contains_packed(data, offsets, lengths)
+        return pd.Series(out)
+
+    return probe

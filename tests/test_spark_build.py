@@ -1,0 +1,170 @@
+"""Distributed build/merge over real Spark — the add_agg/union_agg rebuild.
+
+Each test checks the distributed result against an exact DataFrame aggregate
+computed by Spark itself (the §5.2(3) oracle pattern: collision-free widths ⇒
+sketch estimates equal exact counts)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cms_topn_spark.core import CmsTopn, sketch_from_bytes
+from cms_topn_spark.core import encoding as enc
+from cms_topn_spark.functions.sketch_api import (
+    bloom_add_agg,
+    bloom_contains_udf,
+    cms_topn_add_agg,
+    cms_topn_union_agg,
+    frequency_udf,
+    hll_add_agg,
+    kll_add_agg,
+    mms_add_agg,
+    tdigest_add_agg,
+    topn,
+)
+from cms_topn_spark.operators.build import build_partials, tree_merge_df
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf001_dir):
+    return spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf001_dir):
+    return spark.read.parquet(os.path.join(sf001_dir, "lineitem.parquet"))
+
+
+class TestCmsTopnAgg:
+    def test_event_type_heavy_hitters(self, spark, events):
+        sk = cms_topn_add_agg(events, "event_type", n=5, salt_partitions=8)
+        exact = {
+            r["event_type"]: r["c"]
+            for r in events.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+        }
+        got = dict(sk.topn_list())
+        expected_top = dict(sorted(exact.items(), key=lambda kv: -kv[1])[:5])
+        assert got == expected_top
+
+    def test_user_id_frequencies(self, spark, events):
+        sk = cms_topn_add_agg(events, "user_id", n=10, e=0.0001)
+        exact = {
+            r["user_id"]: r["c"]
+            for r in events.groupBy("user_id").agg(F.count("*").alias("c")).limit(50).collect()
+        }
+        for uid, c in exact.items():
+            assert sk.estimate(int(uid)) == c
+
+    def test_frequency_udf_probe(self, spark, events):
+        sk = cms_topn_add_agg(events, "event_type", n=5)
+        probe = frequency_udf(sk.to_bytes())
+        got = (
+            events.select("event_type")
+            .distinct()
+            .withColumn("freq", probe(F.col("event_type")))
+            .collect()
+        )
+        exact = {
+            r["event_type"]: r["c"]
+            for r in events.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+        }
+        for r in got:
+            assert r["freq"] == exact[r["event_type"]]
+
+    def test_topn_dataframe(self, spark, events):
+        sk = cms_topn_add_agg(events, "event_type", n=3)
+        df = topn(spark, sk)
+        rows = df.collect()
+        assert len(rows) == 3
+        freqs = [r["frequency"] for r in rows]
+        assert freqs == sorted(freqs, reverse=True)
+
+    def test_salted_build_equals_unsalted(self, spark, events):
+        a = cms_topn_add_agg(events, "event_type", n=5, salt_partitions=3)
+        b = cms_topn_add_agg(events, "event_type", n=5, salt_partitions=11)
+        # linear update: counters independent of partitioning
+        assert np.array_equal(a.counters, b.counters)
+        assert dict(a.topn_list()) == dict(b.topn_list())
+
+    def test_union_agg_of_state_column(self, spark, events):
+        states = build_partials(events.select("event_type"), lambda: CmsTopn(5, update="linear"))
+        merged = cms_topn_union_agg(states, "state")
+        whole = cms_topn_add_agg(events, "event_type", n=5)
+        assert dict(merged.topn_list()) == dict(whole.topn_list())
+
+    def test_all_null_column(self, spark):
+        df = spark.range(10).select(F.lit(None).cast("string").alias("v"))
+        sk = cms_topn_add_agg(df, "v", n=3)
+        assert sk is None or sk.topn_list() == []
+
+
+class TestCompanionAggs:
+    def test_hll_distinct_exact(self, spark, lineitem):
+        h = hll_add_agg(lineitem, "l_partkey", p=14, sparse_limit=1 << 20)
+        exact = lineitem.select(F.countDistinct("l_partkey")).collect()[0][0]
+        assert h.estimate() == exact
+
+    def test_kll_quantiles_exact(self, spark, lineitem):
+        k = kll_add_agg(lineitem, "l_extendedprice", k=1 << 20)
+        vals = np.array([r[0] for r in lineitem.select("l_extendedprice").collect()])
+        v = np.sort(vals)
+        for q in (0.25, 0.5, 0.75):
+            t = q * (len(v) - 1)
+            i = int(np.floor(t))
+            expect = v[i] + (v[min(i + 1, len(v) - 1)] - v[i]) * (t - i)
+            assert k.quantile(q) == pytest.approx(expect, abs=1e-9)
+
+    def test_tdigest_median(self, spark, events):
+        n = events.count()
+        t = tdigest_add_agg(events, "value", delta=4 * n)
+        vals = np.sort(np.array([r[0] for r in events.select("value").collect()]))
+        tt = 0.5 * (len(vals) - 1)
+        i = int(np.floor(tt))
+        expect = vals[i] + (vals[min(i + 1, len(vals) - 1)] - vals[i]) * (tt - i)
+        assert t.quantile(0.5) == pytest.approx(expect, abs=1e-9)
+
+    def test_bloom_semijoin(self, spark, sf001_dir):
+        orders = spark.read.parquet(os.path.join(sf001_dir, "orders.parquet"))
+        customer = spark.read.parquet(os.path.join(sf001_dir, "customer.parquet"))
+        bf = bloom_add_agg(orders, "o_custkey", capacity=orders.count(), fpp=1e-9)
+        probe = bloom_contains_udf(bf.to_bytes())
+        got = customer.where(probe(F.col("c_custkey"))).count()
+        exact = customer.join(
+            orders.select("o_custkey").distinct(),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_semi",
+        ).count()
+        assert got == exact
+
+    def test_mms_agg(self, spark, events):
+        df = events.select(
+            "user_id",
+            F.when(F.col("event_type") == "click", F.lit(1))
+            .when(F.col("event_type") == "view", F.lit(2))
+            .when(F.col("event_type") == "purchase", F.lit(4))
+            .when(F.col("event_type") == "signup", F.lit(8))
+            .otherwise(F.lit(16))
+            .alias("mask"),
+        )
+        mms = mms_add_agg(df, "user_id", "mask", e=0.00001)
+        exact = {
+            r["user_id"]: r["m"]
+            for r in df.groupBy("user_id").agg(F.expr("bit_or(mask)").alias("m")).limit(20).collect()
+        }
+        # collision-free width ⇒ OR-merge of partials is a superset of truth
+        for uid, m in exact.items():
+            assert mms.get_mask(int(uid)) & m == m
+
+
+class TestTreeMerge:
+    def test_tree_levels(self, spark, events):
+        states = build_partials(
+            events.select("event_type"), lambda: CmsTopn(5, update="linear"), salt_partitions=32
+        )
+        merged = tree_merge_df(states, fanin=4)
+        rows = merged.collect()
+        assert len(rows) <= 4
+        total_rows = sum(r["input_rows"] for r in rows)
+        assert total_rows == events.count()
