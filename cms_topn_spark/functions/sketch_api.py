@@ -102,7 +102,7 @@ def cms_topn_union_agg(df: DataFrame, state_col: str = "state", fanin: int = 16)
     """Merge a DataFrame column of serialized sketch states (NULLs skipped;
     all-NULL → None, expected/union_agg.out:8-18)."""
     states = df.select(
-        F.monotonically_increasing_id().cast("int").alias("partition_id"),
+        F.pmod(F.monotonically_increasing_id(), F.lit(2**31 - 1)).cast("int").alias("partition_id"),
         F.col(state_col).alias("state"),
         F.lit(0).cast("long").alias("input_rows"),
         F.lit(0).cast("long").alias("build_wall_ms"),
