@@ -1,0 +1,142 @@
+"""Text-analysis operators for training-data pipelines — all pure Catalyst.
+
+Every operator here compiles to native Spark SQL expressions (whole-stage
+codegen, no Python), and each has an exactly-equivalent ANSI-SQL form used as
+the DuckDB oracle in ``__spark_entry__.oracle_sql``. Semantics chosen to be
+engine-portable (token-level set ops instead of regex-boundary tricks; integer
+fixed-point instead of float output) so Spark and DuckDB agree bit-for-bit.
+
+Operators: token counting (whitespace + BPE-ish word/number/punct pieces),
+language ID (stopword-hit argmax with fixed precedence), quality scoring
+(alpha ratio / stopword ratio / length, fixed-point), and content
+fingerprinting (md5; plus a rolling-hash winnowing variant in dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = {
+    "en": ("the", "a", "is", "and", "of"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+LANG_PRECEDENCE = ("en", "de", "fr", "es")
+
+
+def _in_list(vals: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+def stopword_hits(text_col: str, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` (token-exact, no regex)."""
+    return F.expr(
+        f"size(filter(split({text_col}, ' '), t -> t IN ({_in_list(STOPWORDS[lang])})))"
+    )
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish piece count per document."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0)).cast("long").alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def token_stats_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_ISH}'))::BIGINT AS bpe_tokens
+    FROM {table}
+    """
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID with deterministic precedence en>de>fr>es."""
+    hits = {lang: stopword_hits(text_col, lang) for lang in LANG_PRECEDENCE}
+    # the first language (in precedence order) whose hits equal the max wins
+    mx = F.greatest(*[hits[lang] for lang in LANG_PRECEDENCE])
+    pred = (
+        F.when(mx == F.lit(0), F.lit("und"))
+        .when(hits["en"] == mx, F.lit("en"))
+        .when(hits["de"] == mx, F.lit("de"))
+        .when(hits["fr"] == mx, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        *[hits[lang].cast("long").alias(f"hits_{lang}") for lang in LANG_PRECEDENCE],
+    )
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    h = {
+        lang: f"len(list_filter(string_split(text,' '), t -> t IN ({_in_list(STOPWORDS[lang])})))"
+        for lang in LANG_PRECEDENCE
+    }
+    mx = f"greatest({h['en']}, {h['de']}, {h['fr']}, {h['es']})"
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {mx} = 0 THEN 'und'
+                WHEN {h['en']} = {mx} THEN 'en'
+                WHEN {h['de']} = {mx} THEN 'de'
+                WHEN {h['fr']} = {mx} THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           {h['en']}::BIGINT AS hits_en,
+           {h['de']}::BIGINT AS hits_de,
+           {h['fr']}::BIGINT AS hits_fr,
+           {h['es']}::BIGINT AS hits_es
+    FROM {table}
+    """
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fixed-point quality features: micro-units so engines agree exactly.
+
+    alpha_ratio  = alpha chars / chars, punct_ratio = non-alnum-space / chars,
+    stop_ratio   = english stopword tokens / tokens — all ×1e6 floored."""
+    chars = F.length(F.col(text_col))
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", ""))
+    toks = F.size(F.split(F.col(text_col), " "))
+    stops = stopword_hits(text_col, "en")
+    fx = lambda c: F.floor(c * F.lit(1_000_000)).cast("long")
+    return df.select(
+        F.col(id_col),
+        chars.cast("long").alias("n_chars"),
+        toks.cast("long").alias("n_tokens"),
+        fx(alpha / chars).alias("alpha_ratio_fx"),
+        fx(punct / chars).alias("punct_ratio_fx"),
+        fx(stops / toks).alias("stop_ratio_fx"),
+    )
+
+
+def quality_score_sql(table: str = "documents") -> str:
+    stops = f"len(list_filter(string_split(text,' '), t -> t IN ({_in_list(STOPWORDS['en'])})))"
+    return f"""
+    SELECT doc_id,
+           len(text)::BIGINT AS n_chars,
+           len(string_split(text,' '))::BIGINT AS n_tokens,
+           floor(1000000 * len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / len(text))::BIGINT AS alpha_ratio_fx,
+           floor(1000000 * len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / len(text))::BIGINT AS punct_ratio_fx,
+           floor(1000000 * {stops}::DOUBLE / len(string_split(text,' ')))::BIGINT AS stop_ratio_fx
+    FROM {table}
+    """
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of the exact text bytes."""
+    return df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+
+
+def fingerprints_sql(table: str = "documents") -> str:
+    return f"SELECT doc_id, md5(text) AS fp FROM {table}"
