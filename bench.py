@@ -1,0 +1,188 @@
+"""Benchmark harness (driver-run per round; local iteration tool).
+
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "scaling": {"docs": N, "local2": {...}, "local8": {...},
+               "efficiency": ...}}
+
+Two parts:
+1. Headline queries over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+   on local[$SPARK_GRAFT_CPUS].
+2. The north-rule scaling protocol (BASELINE.md row 12): the flagship
+   one-scan multi-sketch job (URL/host/token heavy hitters + URL HLL over the
+   synthetic webpages table) at local[2] vs local[8] (N vs 4N cores) on the
+   same page-cache-warm parquet input; efficiency =
+   (docs/sec @8) / (4 x docs/sec @2). local[2]/local[8] rather than 8/32:
+   mapInArrow stages pair a JVM task thread with a Python worker per slot, so
+   beyond 16 slots the 32-hw-thread box oversubscribes and measures context
+   switching, not the engine (see BENCH/BASELINE.md).
+
+Everything timed excludes session startup and input generation (the input is
+materialized to parquet once, then read by both runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "cms_topn_event_types",
+    "cms_topn_doc_tokens",
+    "cms_topn_frequency_probe",
+    "hll_distinct_parts",
+    "kll_price_quantiles",
+    "tdigest_median_by_type",
+    "bloom_customer_semijoin",
+    "tpch_q1_pricing",
+    "top_nations_revenue",
+    "minhash_lsh_pairs",
+    "ann_brute_topk",
+]
+
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+SCALING_LEVELS = (2, 8)  # N vs 4N cores; see BENCH/BASELINE.md for the protocol
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+    from cms_topn_spark.spark_session import get_spark
+
+    spark = get_spark("bench-headline", cpus=cpus)
+    qs = entrymod.queries()
+    warmup(spark, cpus)
+    out = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if df is not None else 0
+        out[name] = round(time.monotonic() - t0, 3)
+        log(f"  {name}: {out[name]}s ({n} rows)")
+    spark.stop()
+    return out
+
+
+def warmup(spark, cpus: int) -> None:
+    """Fork + import-warm every Python worker before timing (steady-state
+    throughput is the metric; cold worker fork/import is session setup)."""
+    import pyarrow as pa
+
+    def touch(batches):
+        import numpy  # noqa: F401  (pre-import the kernel deps)
+
+        import cms_topn_spark.core  # noqa: F401
+
+        for rb in batches:
+            yield pa.RecordBatch.from_pydict({"x": [rb.num_rows]})
+
+    spark.range(0, cpus * 4, 1, cpus * 4).mapInArrow(touch, "x long").count()
+
+
+def flagship_build(spark, input_path: str) -> int:
+    """The north-star job: one scan -> URL/host/token heavy hitters + URL HLL."""
+    from cms_topn_spark.plans.flagship import run_flagship
+
+    pages = spark.read.parquet(input_path)
+    sk = run_flagship(pages)
+    assert len(sk["host_topn"].topn_list()) == 10
+    assert len(sk["token_topn"].topn_list()) == 50
+    assert sk["url_hll"].estimate() > 0
+    return sk["url_topn"].total
+
+
+def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int = 3) -> dict:
+    """Alternating best-of-N protocol: the sandbox box is noisy (shared vCPUs),
+    so each level is measured in its own session, interleaved, best wall kept."""
+    from cms_topn_spark.spark_session import get_spark
+
+    best = {c: 1e18 for c in levels}
+    for rep in range(reps):
+        for cpus in levels:
+            spark = get_spark(f"bench-scaling-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+            warmup(spark, cpus)
+            if rep == 0:
+                flagship_build(spark, input_path)  # code-path warmup
+            t0 = time.monotonic()
+            total = flagship_build(spark, input_path)
+            wall = time.monotonic() - t0
+            assert total == n_docs
+            best[cpus] = min(best[cpus], wall)
+            log(f"  rep{rep} local[{cpus}]: {wall:.2f}s")
+            spark.stop()
+    res = {
+        c: {"wall_sec": round(best[c], 3), "docs_per_sec": round(n_docs / best[c], 1)}
+        for c in levels
+    }
+    lo, hi = levels
+    eff = (res[hi]["docs_per_sec"] / res[lo]["docs_per_sec"]) / (hi / lo)
+    res["efficiency"] = round(eff, 3)
+    for c in levels:
+        log(f"  local[{c}]: {res[c]['wall_sec']}s -> {res[c]['docs_per_sec']:,.0f} docs/s")
+    log(f"  scaling efficiency {lo}->{hi} cores: {res['efficiency']}")
+    return res
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    log(f"headline queries at {sf_dir}, local[{cpus}]")
+    queries = run_headline(sf_dir, cpus)
+
+    log(f"scaling protocol: {SCALING_DOCS} webpages at local[{SCALING_LEVELS[0]}] vs local[{SCALING_LEVELS[1]}]")
+    tmp = tempfile.mkdtemp(prefix="bench_webpages_")
+    input_path = os.path.join(tmp, "webpages.parquet")
+    try:
+        from cms_topn_spark.sources.webpages import generate_webpages
+        from cms_topn_spark.spark_session import get_spark
+
+        spark = get_spark("bench-gen", cpus=cpus)
+        generate_webpages(spark, SCALING_DOCS, partitions=96).write.mode("overwrite").parquet(
+            input_path
+        )
+        spark.stop()
+        # warm the page cache so the first timed run isn't an I/O test
+        for f in os.listdir(input_path):
+            if f.endswith(".parquet"):
+                with open(os.path.join(input_path, f), "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
+        scaling = run_scaling(input_path, SCALING_DOCS)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time + flagship CMS build docs/sec scaling",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "scaling": {
+                    "docs": SCALING_DOCS,
+                    "local2": scaling[2],
+                    "local8": scaling[8],
+                    "efficiency": scaling["efficiency"],
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

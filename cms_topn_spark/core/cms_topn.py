@@ -143,8 +143,10 @@ class CmsTopn(MergeableSketch):
         lengths: np.ndarray,
         counts: np.ndarray | None = None,
         type_tag: int = enc.TYPE_BINARY,
+        hashes: tuple[np.ndarray, np.ndarray] | None = None,
     ) -> None:
-        """Vectorized bulk add over packed byte strings (the Spark hot path)."""
+        """Vectorized bulk add over packed byte strings (the Spark hot path).
+        ``hashes`` lets callers reuse one Murmur pass across several sketches."""
         n_items = len(lengths)
         if n_items == 0:
             return
@@ -154,7 +156,10 @@ class CmsTopn(MergeableSketch):
         else:
             counts = np.asarray(counts, dtype=np.int64)
 
-        h1, h2 = hash128(data, offsets, lengths, MURMUR_SEED)
+        if hashes is not None:
+            h1, h2 = hashes
+        else:
+            h1, h2 = hash128(data, offsets, lengths, MURMUR_SEED)
         # group duplicate items within the batch by their 128-bit hash
         key = h1 ^ (h2 * U64(0x9E3779B97F4A7C15))
         uniq, first_idx, inv = np.unique(key, return_index=True, return_inverse=True)
@@ -177,11 +182,15 @@ class CmsTopn(MergeableSketch):
         est_post = self._estimate_cols(cols)
 
         # ---- top-n maintenance (first-appearance order for tie parity) ----
-        # prefilter: an item can enter/update only if its estimate reaches the
-        # current minimum top-n frequency (monotone counters ⇒ members pass too)
+        # prefilter: when the array is full, the entry rule is STRICT
+        # (freq > evicted min, expected/add.out:60-76), so only est > cur_min
+        # can change anything: a member at est == cur_min would be a no-op
+        # update (stored ≥ min and counters are monotone force stored == est).
+        # This strictness is what keeps long-tail keys (est == cur_min == 1,
+        # e.g. mostly-unique URLs) out of the Python loop entirely.
         if len(self.topn) >= self.n:
             cur_min = min(e[0] for e in self.topn.values())
-            cand = np.nonzero(est_post >= U64(max(cur_min, 1)))[0]
+            cand = np.nonzero(est_post > U64(cur_min))[0]
         else:
             cand = np.arange(len(uniq))
         if len(cand) == 0:
@@ -194,22 +203,44 @@ class CmsTopn(MergeableSketch):
             np.ascontiguousarray(data)
         )
         base_seq = self.next_seq
-        for k in order:
-            j = int(first_idx[k])
+        # lazy-invalidated min-heap keyed by the eviction rule (lowest freq,
+        # then newest seq) — O(log n) per candidate instead of an O(n) scan
+        import heapq
+
+        heap = [(int(e[0]), -int(e[1]), it) for it, e in self.topn.items()]
+        heapq.heapify(heap)
+
+        def pop_valid_min() -> tuple[int, bytes] | None:
+            while heap:
+                f, ns, it = heap[0]
+                e = self.topn.get(it)
+                if e is not None and e[0] == f and -e[1] == ns:
+                    return f, it
+                heapq.heappop(heap)  # stale
+            return None
+
+        est_list = est_post.tolist()
+        first_list = first_idx.tolist()
+        full = self.n
+        for k in order.tolist():
+            j = first_list[k]
             item = bytes(mv[offs[j] : offs[j] + lens[j]])
-            freq = int(est_post[k])
+            freq = est_list[k]
             ent = self.topn.get(item)
             if ent is not None:
-                ent[0] = freq
-            elif len(self.topn) < self.n:
+                if ent[0] != freq:
+                    ent[0] = freq
+                    heapq.heappush(heap, (freq, -ent[1], item))
+            elif len(self.topn) < full:
                 self.topn[item] = [freq, base_seq + j]
+                heapq.heappush(heap, (freq, -(base_seq + j), item))
             else:
-                evict_item, evict_ent = min(
-                    self.topn.items(), key=lambda kv: (kv[1][0], -kv[1][1])
-                )
-                if freq > evict_ent[0]:
-                    del self.topn[evict_item]
+                vm = pop_valid_min()
+                if vm is not None and freq > vm[0]:
+                    del self.topn[vm[1]]
+                    heapq.heappop(heap)
                     self.topn[item] = [freq, base_seq + j]
+                    heapq.heappush(heap, (freq, -(base_seq + j), item))
         self.next_seq = base_seq + int(n_items)
 
     # ---------------- query ----------------

@@ -169,17 +169,25 @@ def tree_merge_df(states: DataFrame, fanin: int = 16) -> DataFrame:
     """Merge a states DataFrame down to ≤ ``fanin`` rows with a bounded-fan-in
     tree: each level buckets by partition_id // fanin and merges per bucket via
     applyInPandas. O(log_fanin P) levels; each level is a small shuffle of
-    sketch-sized rows."""
+    sketch-sized rows.
+
+    Each level is persisted before its count so the expensive upstream build
+    is computed exactly once (counting an unpersisted frame would re-run the
+    whole lineage per level)."""
     from pyspark.sql import functions as F
 
+    states = states.persist()
     n = states.count()
+    prev = states
     while n > fanin:
         states = (
             states.withColumn("bucket", (F.col("partition_id") / fanin).cast("int"))
             .groupBy("bucket")
-            .applyInPandas(_merge_group, STATE_SCHEMA.replace("partition_id", "partition_id"))
-        )
+            .applyInPandas(_merge_group, STATE_SCHEMA)
+        ).persist()
         n = states.count()
+        prev.unpersist()
+        prev = states
     return states
 
 
@@ -189,13 +197,21 @@ def sketch_agg(
     ingest: Callable[[object, pa.RecordBatch], None] = default_ingest,
     salt_partitions: int | None = None,
     fanin: int = 16,
+    direct_collect_limit: int = 64,
 ):
     """Full add_agg analogue: build partials, tree-merge, return the sketch.
 
     NULL-only / empty inputs → None, matching cms_topn_union_agg over all-NULL
-    rows (expected/union_agg.out:8-18)."""
+    rows (expected/union_agg.out:8-18).
+
+    For moderate partition counts the partials are collected in ONE action and
+    merged on the driver (P sketch-sized rows; merging is O(P·d·w) numpy adds,
+    microseconds per state). The shuffle tree only pays off when P is large —
+    at 1000-executor scale — so it kicks in above ``direct_collect_limit``."""
     states = build_partials(df, factory, ingest, salt_partitions)
-    states = tree_merge_df(states, fanin)
+    n_parts = df.rdd.getNumPartitions() if salt_partitions is None else salt_partitions
+    if n_parts > direct_collect_limit:
+        states = tree_merge_df(states, fanin)
     rows = states.collect()
     acc = None
     for r in rows:
@@ -203,7 +219,4 @@ def sketch_agg(
             acc = merge_serialized(acc, bytes(r["state"]))
     if acc is None:
         return None
-    sk = sketch_from_bytes(acc)
-    if getattr(sk, "total", None) == 0 and getattr(sk, "item_type", 1) == 0:
-        return sk  # empty sketch is a valid result
-    return sk
+    return sketch_from_bytes(acc)

@@ -1,0 +1,80 @@
+"""The flagship north-star job: one scan → four sketches (BASELINE.json:6).
+
+Heavy-hitter URLs, hostnames and text tokens plus distinct-URL HLL over the
+web-pages table, in a SINGLE pass:
+
+- projection (url, text) is pushed to the parquet scan (2 of 5 columns read),
+- host extraction and tokenization run *inside the Python worker* with Arrow
+  C++ kernels (``extract_regex``, ``split_pattern``) — measured 3× faster
+  than JVM-side ``explode(split())`` because the exploded token stream never
+  crosses the JVM→Python boundary (token rows outnumber docs ~50×),
+- all four kernels update per partition, one composite state row ships per
+  task, tree/driver merge as usual.
+
+This module is what the scaling benchmark times.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame
+
+from ..core import CmsTopn, HyperLogLog
+from ..core import encoding as enc
+from ..core.composite import CompositeSketch
+from ..operators.build import sketch_agg
+
+HOST_RE = r"^[a-z]+://(?P<host>[^/]+)/"
+
+
+def _pack(arr: pa.Array):
+    if arr.null_count:
+        arr = arr.drop_null()
+    return enc.encode_arrow_strings(arr)
+
+
+def flagship_factory(
+    n_urls: int = 20, n_hosts: int = 10, n_tokens: int = 50, eps: float = 0.001, hll_p: int = 14
+):
+    def factory() -> CompositeSketch:
+        return CompositeSketch(
+            {
+                "url_topn": CmsTopn(n_urls, eps, 0.99, update="linear"),
+                "host_topn": CmsTopn(n_hosts, eps, 0.99, update="linear"),
+                "token_topn": CmsTopn(n_tokens, eps, 0.99, update="linear"),
+                "url_hll": HyperLogLog(p=hll_p),
+            }
+        )
+
+    return factory
+
+
+def flagship_ingest(sk: CompositeSketch, batch: pa.RecordBatch) -> None:
+    """batch columns: (url string, text string)."""
+    import numpy as np
+
+    from ..core.murmur import MURMUR_SEED, hash128
+
+    urls = batch.column(0)
+    texts = batch.column(1)
+    data, offs, lens = _pack(urls)
+    h1, h2 = hash128(data, offs, lens, MURMUR_SEED)  # one hash pass, two sketches
+    sk["url_topn"].add_packed(data, offs, lens, type_tag=enc.TYPE_STRING, hashes=(h1, h2))
+    sk["url_hll"]._bind_type(enc.TYPE_STRING)
+    sk["url_hll"].add_hashes(np.unique(h1))
+    hosts = pc.struct_field(pc.extract_regex(urls, HOST_RE), "host")
+    data, offs, lens = _pack(hosts)
+    sk["host_topn"].add_packed(data, offs, lens, type_tag=enc.TYPE_STRING)
+    # tokens: ~50× more rows than docs but few distincts — pre-aggregate in
+    # Arrow C++ (value_counts) so the numpy kernel hashes each distinct once
+    toks = pc.list_flatten(pc.split_pattern(texts, " "))
+    vc = pc.value_counts(toks)
+    data, offs, lens = _pack(vc.field("values"))
+    counts = vc.field("counts").to_numpy(zero_copy_only=False)
+    sk["token_topn"].add_packed(data, offs, lens, counts=counts, type_tag=enc.TYPE_STRING)
+
+
+def run_flagship(pages: DataFrame, **params) -> CompositeSketch:
+    """One-scan build of the four-sketch composite over a webpages DataFrame."""
+    return sketch_agg(pages.select("url", "text"), flagship_factory(**params), flagship_ingest)

@@ -65,7 +65,23 @@ def _u01(h: np.ndarray) -> np.ndarray:
     return h.astype(np.float64) / float(2**64)
 
 
-def _rows_for_ids(ids: np.ndarray) -> dict:
+_VOCAB = None
+
+
+def _vocab() -> "pa.Array":
+    import pyarrow as pa
+
+    global _VOCAB
+    if _VOCAB is None:
+        _VOCAB = pa.array([f"tok{j}" for j in range(VOCAB_SIZE)], pa.string())
+    return _VOCAB
+
+
+def _columns_for_ids(ids: np.ndarray) -> dict:
+    """Row id → all five columns, fully vectorized (numpy + Arrow C++)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     n = len(ids)
     ids = ids.astype(np.int64)
     host_idx = np.searchsorted(_HOST_CDF, _u01(_splitmix64(ids * 7 + 1)))
@@ -81,31 +97,37 @@ def _rows_for_ids(ids: np.ndarray) -> dict:
     counters = ids[doc_rep] * (1 << 20) + within + 5
     tok_idx = np.searchsorted(_TOKEN_CDF, _u01(_splitmix64(counters)))
 
-    texts = []
-    pos = 0
-    tok_strs = np.char.add("tok", tok_idx.astype("U6"))
-    for L in n_tokens:
-        texts.append(" ".join(tok_strs[pos : pos + L]))
-        pos += L
+    # doc texts: dictionary-decode token ids, list-wrap, join in Arrow C++
+    tok_arr = pa.DictionaryArray.from_arrays(
+        pa.array(tok_idx, pa.int32()), _vocab()
+    ).dictionary_decode()
+    offsets = np.concatenate(([0], np.cumsum(n_tokens))).astype(np.int32)
+    tok_lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), tok_arr)
+    texts = pc.binary_join(tok_lists, " ")
 
-    urls = [
-        f"https://host-{h}.example.{TLDS[int(t)]}/path/{i}"
-        for h, t, i in zip(host_idx, tld_idx, ids)
-    ]
-    htmls = [(HTML_PREFIX + txt + HTML_SUFFIX).encode("utf-8") for txt in texts]
-    import datetime as dt
-
-    ts = [
-        dt.datetime.fromtimestamp(EPOCH_2026 + int(i), dt.timezone.utc).replace(tzinfo=None)
-        for i in ids
-    ]
-    return {
-        "url": urls,
-        "warc_ts": ts,
-        "html": htmls,
-        "text": texts,
-        "lang": [LANGS[int(k)] for k in lang_idx],
-    }
+    join = pc.binary_join_element_wise
+    s = lambda a: pa.array(a, pa.string())
+    np_str = lambda x: np.char.mod("%d", x)
+    hosts = s(np.char.add(np.char.add("host-", np_str(host_idx)), ".example."))
+    tlds = pa.DictionaryArray.from_arrays(
+        pa.array(tld_idx.astype(np.int32), pa.int32()), pa.array(TLDS, pa.string())
+    ).dictionary_decode()
+    urls = join(
+        pa.array(["https://"] * n, pa.string()),
+        hosts,
+        tlds,
+        s(np.char.add("/path/", np_str(ids))),
+        "",
+    )
+    htmls = pc.cast(
+        join(pa.array([HTML_PREFIX] * n, pa.string()), texts, pa.array([HTML_SUFFIX] * n), ""),
+        pa.binary(),
+    )
+    ts = pa.array((EPOCH_2026 + ids) * 1_000_000, pa.int64()).cast(pa.timestamp("us"))
+    langs = pa.DictionaryArray.from_arrays(
+        pa.array(lang_idx.astype(np.int32), pa.int32()), pa.array(LANGS, pa.string())
+    ).dictionary_decode()
+    return {"url": urls, "warc_ts": ts, "html": htmls, "text": texts, "lang": langs}
 
 
 def generate_webpages(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
@@ -115,16 +137,8 @@ def generate_webpages(spark: SparkSession, n_docs: int, partitions: int | None =
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             ids = rb.column(0).to_numpy()
-            cols = _rows_for_ids(ids)
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "url": pa.array(cols["url"], pa.string()),
-                    "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
-                    "html": pa.array(cols["html"], pa.binary()),
-                    "text": pa.array(cols["text"], pa.string()),
-                    "lang": pa.array(cols["lang"], pa.string()),
-                }
-            )
+            cols = _columns_for_ids(ids)
+            yield pa.RecordBatch.from_pydict(cols)
 
     return rng.mapInArrow(fn, WEBPAGES_SCHEMA)
 
