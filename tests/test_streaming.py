@@ -1,0 +1,122 @@
+"""Structured Streaming sketch aggregation: incremental build, restart/resume,
+replay idempotency, and the keyed stateful operator."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cms_topn_spark.core import CmsTopn
+from cms_topn_spark.functions.sketch_api import cms_topn_add_agg
+from cms_topn_spark.sources.webpages import generate_webpages
+from cms_topn_spark.streaming.stream_agg import (
+    _read_committed,
+    keyed_sketch_stream,
+    read_stream_state,
+    sketch_stream_agg,
+)
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return str(src), str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+
+def _write_slice(spark, src, lo, hi, name):
+    df = generate_webpages(spark, hi, partitions=2).where(F.col("url").isNotNull())
+    # deterministic slice by path suffix id range
+    df = df.withColumn("idx", F.regexp_extract("url", r"/path/(\d+)$", 1).cast("long"))
+    df.where((F.col("idx") >= lo) & (F.col("idx") < hi)).select("url").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, name))
+
+
+class TestGlobalStreamAgg:
+    def test_incremental_equals_batch_and_resumes(self, spark, stream_dirs):
+        src, state_dir, ckpt = stream_dirs
+        full = generate_webpages(spark, 2000, partitions=4).select("url")
+        _write_slice(spark, src, 0, 1000, "part1")
+
+        stream = (
+            spark.readStream.schema("url string")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(src, "*"))
+        )
+        q = sketch_stream_agg(
+            stream, lambda: CmsTopn(10, 0.0001, 0.99, update="linear"), state_dir, ckpt
+        )
+        q.awaitTermination(120)
+        sk1 = read_stream_state(state_dir)
+        assert sk1 is not None and sk1.total == 1000
+        first_commit = _read_committed(state_dir)
+
+        # append more data, restart the query from the same checkpoint
+        _write_slice(spark, src, 1000, 2000, "part2")
+        q2 = sketch_stream_agg(
+            stream, lambda: CmsTopn(10, 0.0001, 0.99, update="linear"), state_dir, ckpt
+        )
+        q2.awaitTermination(120)
+        sk2 = read_stream_state(state_dir)
+        assert sk2.total == 2000
+        assert _read_committed(state_dir) > first_commit
+
+        batch = cms_topn_add_agg(full, "url", n=10, e=0.0001)
+        assert sk2.topn_list() == batch.topn_list()
+        import numpy as np
+
+        assert np.array_equal(sk2.counters, batch.counters)
+
+    def test_restart_without_new_data_is_noop(self, spark, stream_dirs):
+        src, state_dir, ckpt = stream_dirs
+        _write_slice(spark, src, 0, 500, "part1")
+        stream = (
+            spark.readStream.schema("url string").parquet(os.path.join(src, "*"))
+        )
+        factory = lambda: CmsTopn(5, update="linear")
+        sketch_stream_agg(stream, factory, state_dir, ckpt).awaitTermination(120)
+        s1 = read_stream_state(state_dir).to_bytes()
+        sketch_stream_agg(stream, factory, state_dir, ckpt).awaitTermination(120)
+        assert read_stream_state(state_dir).to_bytes() == s1
+
+
+class TestKeyedStream:
+    def test_keyed_topn_matches_exact(self, spark, tmp_path, sf001_dir):
+        src = str(tmp_path / "ev")
+        events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+        events.select("event_type", "user_id").write.parquet(src)
+        stream = spark.readStream.schema("event_type string, user_id long").parquet(src)
+        out = keyed_sketch_stream(stream, "event_type", "user_id", n=3, eps=0.0001)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("keyed_topn")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["key"]: (r["top_item"], r["top_freq"]) for r in spark.sql(
+            "SELECT * FROM keyed_topn"
+        ).collect()}
+        exact = {
+            r["event_type"]: (str(r["top_user"]), r["c"])
+            for r in spark.sql(
+                """
+                SELECT event_type, user_id AS top_user, c FROM (
+                  SELECT event_type, user_id, count(*) AS c,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY count(*) DESC, user_id) AS rk
+                  FROM {ev} GROUP BY event_type, user_id
+                ) WHERE rk = 1
+                """,
+                ev=events,
+            ).collect()
+        }
+        assert set(got) == set(exact)
+        for k, (item, freq) in exact.items():
+            # CMS top-1 at collision-free width: frequency matches exact count;
+            # the item matches unless several users tie at the max (tie order
+            # between sketch insertion and SQL row_number can differ)
+            assert got[k][1] == freq
