@@ -107,13 +107,14 @@ def cms_topn_union_agg(df: DataFrame, state_col: str = "state", fanin: int = 16)
         F.lit(0).cast("long").alias("input_rows"),
         F.lit(0).cast("long").alias("build_wall_ms"),
     ).where(F.col(state_col).isNotNull())
-    if states.rdd.isEmpty():
+    if states.limit(1).count() == 0:
         return None
     states = tree_merge_df(states, fanin)
     acc = None
     for r in states.collect():
         if r["state"] is not None:
             acc = merge_serialized(acc, bytes(r["state"]))
+    states.unpersist()
     return sketch_from_bytes(acc) if acc is not None else None
 
 

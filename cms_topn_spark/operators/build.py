@@ -210,9 +210,12 @@ def sketch_agg(
     at 1000-executor scale — so it kicks in above ``direct_collect_limit``."""
     states = build_partials(df, factory, ingest, salt_partitions)
     n_parts = df.rdd.getNumPartitions() if salt_partitions is None else salt_partitions
+    merged_df = None
     if n_parts > direct_collect_limit:
-        states = tree_merge_df(states, fanin)
+        states = merged_df = tree_merge_df(states, fanin)
     rows = states.collect()
+    if merged_df is not None:
+        merged_df.unpersist()  # tree_merge_df leaves its last level cached
     acc = None
     for r in rows:
         if r["state"] is not None:

@@ -129,22 +129,72 @@ def _perm_params() -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _doc_gram_hashes(texts, k: int = SHINGLE_K) -> tuple[np.ndarray, np.ndarray, int]:
+    """All texts → (doc_idx, murmur_h1) of their DISTINCT char-k-gram shingles,
+    grouped by doc — one fully-vectorized pass over the whole batch.
+
+    Grams are built as k-byte sliding windows over the zero-padded UTF-8
+    concatenation (docs shorter than k yield one zero-padded gram), deduped
+    per doc with a lexsort, and hashed once each."""
+    assert k == 8, "fast path packs grams as uint64 words (k must be 8)"
+    bs = [(t or "").encode("utf-8") for t in texts]
+    n = len(bs)
+    lens = np.fromiter((len(x) for x in bs), dtype=np.int64, count=n)
+    # zero padding of k bytes after each doc keeps windows doc-local
+    doc_off = np.concatenate(([0], np.cumsum(lens + k)[:-1]))
+    buf = np.zeros(int((lens + k).sum()) + k, dtype=np.uint8)
+    for i, x in enumerate(bs):  # bulk memcpy per doc (C speed)
+        buf[doc_off[i] : doc_off[i] + lens[i]] = np.frombuffer(x, np.uint8)
+    n_grams = np.maximum(lens - (k - 1), 1)
+    total = int(n_grams.sum())
+    gram_doc = np.repeat(np.arange(n), n_grams)
+    within = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(n_grams)[:-1])), n_grams)
+    starts = doc_off[gram_doc] + within
+    windows = np.lib.stride_tricks.sliding_window_view(buf, k)[starts]
+    key64 = np.ascontiguousarray(windows).view("<u8").ravel()
+    order = np.lexsort((key64, gram_doc))
+    d_s, k_s = gram_doc[order], key64[order]
+    keep = np.ones(len(d_s), dtype=bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+    d_u, k_u = d_s[keep], k_s[keep]
+    gram_bytes = np.ascontiguousarray(k_u).view(np.uint8)
+    h1, _ = hash128(gram_bytes, np.arange(len(k_u), dtype=np.int64) * k,
+                    np.full(len(k_u), k, dtype=np.int64))
+    return d_u, h1, n
+
+
 def _minhash_signatures(texts: pd.Series, k: int = SHINGLE_K) -> np.ndarray:
-    """(n_docs, N_PERM) uint64 minhash matrix, vectorized per batch."""
+    """(n_docs, N_PERM) uint64 minhash matrix — vectorized across the batch;
+    perms evaluated in blocks so the (grams × perms) matrix stays cache-sized."""
     a, b = _perm_params()
-    out = np.empty((len(texts), N_PERM), dtype=U64)
-    for row, t in enumerate(texts):
-        t = t or ""
-        n = max(len(t) - k + 1, 1)
-        grams = list({t[i : i + k] for i in range(n)})
-        data = "".join(grams).encode("utf-8")
-        lens = np.array([len(g.encode("utf-8")) for g in grams], dtype=np.int64)
-        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        h1, _ = hash128(data, offs, lens)
-        hv = (h1 % U64(_MERSENNE)).astype(U64)
-        # perm p: min over grams of (a_p * h + b_p) mod M  — outer, vectorized
-        vals = (hv[:, None] * a[None, :] + b[None, :]) % U64(_MERSENNE)
-        out[row] = vals.min(axis=0)
+    if len(texts) == 0:
+        return np.empty((0, N_PERM), dtype=U64)
+    d_u, h1, n = _doc_gram_hashes(texts, k)
+    hv = (h1 % U64(_MERSENNE)).astype(U64)
+    seg_starts = np.flatnonzero(np.concatenate(([True], d_u[1:] != d_u[:-1])))
+    docs_present = d_u[seg_starts]
+    out = np.full((n, N_PERM), U64(0), dtype=U64)
+    # perm-major (contiguous inner loops) and doc-segment chunks: each temp is
+    # (block, <=CHUNK) ≈ 32 MB, cache-friendlier and arena-bounded
+    block, CHUNK = 32, 4_000_000 // 32
+    n_seg = len(seg_starts)
+    seg_ends = np.concatenate((seg_starts[1:], [len(d_u)]))
+    s = 0
+    while s < n_seg:
+        e = s
+        while e < n_seg and seg_ends[e] - seg_starts[s] < CHUNK:
+            e += 1
+        e = max(e, s + 1)
+        lo, hi = seg_starts[s], seg_ends[e - 1]
+        local_starts = seg_starts[s:e] - lo
+        hslice = hv[lo:hi]
+        rows = docs_present[s:e]
+        for p0 in range(0, N_PERM, block):
+            vals = a[p0 : p0 + block][:, None] * hslice[None, :]
+            vals += b[p0 : p0 + block][:, None]
+            vals %= U64(_MERSENNE)
+            out[rows, p0 : p0 + block] = np.minimum.reduceat(vals, local_starts, axis=1).T
+        s = e
     return out
 
 
@@ -152,6 +202,12 @@ def minhash_band_keys(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, band, key): one row per band, key = hash of the band's rows."""
+    # signature work is CPU-bound in the worker: spread a under-partitioned
+    # corpus across the cluster before the mapInArrow (no-op at real scale,
+    # where the input already has >= cores partitions)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
@@ -185,7 +241,8 @@ def minhash_lsh_pairs(
     probability (1-s⁴)³², < 1e-7 at s=0.8 — at the verification threshold the
     candidate set is effectively lossless, so the output equals the exact
     operator (and shares its oracle)."""
-    bands = minhash_band_keys(df, id_col, text_col)
+    # persist: the self-join would otherwise recompute the signatures twice
+    bands = minhash_band_keys(df, id_col, text_col).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -218,23 +275,29 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document over char shingles (Charikar 2002)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             pdf = rb.to_pandas()
-            sigs = np.empty(len(pdf), dtype=np.int64)
-            for row, t in enumerate(pdf[text_col]):
-                t = t or ""
-                n = max(len(t) - SHINGLE_K + 1, 1)
-                grams = list({t[i : i + SHINGLE_K] for i in range(n)})
-                data = "".join(grams).encode("utf-8")
-                lens = np.array([len(g.encode("utf-8")) for g in grams], dtype=np.int64)
-                offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                h1, _ = hash128(data, offs, lens)
-                bits = (h1[:, None] >> np.arange(64, dtype=U64)[None, :]) & U64(1)
-                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-                sig = np.where(votes > 0, np.uint64(1), np.uint64(0))
-                sigs[row] = int((sig << np.arange(64, dtype=U64)).sum(dtype=U64).astype(np.int64))
+            if len(pdf) == 0:
+                continue
+            d_u, h1, n = _doc_gram_hashes(pdf[text_col])
+            # per-doc bit votes: ±1 per gram per bit, segment-summed
+            # (reduceat); bit-major chunks keep temps small on this box
+            seg_starts = np.flatnonzero(np.concatenate(([True], d_u[1:] != d_u[:-1])))
+            doc_votes = np.empty((len(seg_starts), 64), dtype=np.int64)
+            for b0 in range(0, 64, 8):
+                shifts = np.arange(b0, b0 + 8, dtype=U64)
+                bits = ((h1[None, :] >> shifts[:, None]) & U64(1)).astype(np.int32)
+                votes = 2 * bits - 1
+                doc_votes[:, b0 : b0 + 8] = np.add.reduceat(votes, seg_starts, axis=1).T
+            sig_bits = (doc_votes > 0).astype(np.uint64)
+            sigs64 = (sig_bits << np.arange(64, dtype=U64)[None, :]).sum(axis=1, dtype=U64)
+            sigs = np.zeros(n, dtype=np.int64)
+            sigs[d_u[seg_starts]] = sigs64.astype(np.int64)
             yield pa.RecordBatch.from_pydict(
                 {
                     "doc_id": pa.array(pdf[id_col].to_numpy(), pa.int64()),

@@ -20,6 +20,13 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # This sandbox has very slow first-touch page faults (~50µs/page), and
+    # glibc mmap/munmaps every numpy temp > 128 kB, so each large temporary
+    # re-faults from scratch (measured 4-20s per 350 MB temp). Keeping big
+    # allocations in the malloc arena makes Python workers fault once and
+    # reuse pages across Arrow batches/tasks. Exported before the JVM forks
+    # so every pyspark.daemon worker inherits it.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -38,6 +45,8 @@ def get_spark(
         # straggler partition can't serialize a whole wave (AQE coalesces
         # tiny ones back together)
         .config("spark.sql.files.maxPartitionBytes", "33554432")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
