@@ -149,6 +149,26 @@ def q_mms_user_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "user_id long, mask long")
 
 
+def q_grouped_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level per-group CMS build (operators/grouped.py): per event_type,
+    frequencies of user_ids < 10; zero-count pairs drop (exact at this width)."""
+    from cms_topn_spark.core import CmsTopn, sketch_from_bytes
+    from cms_topn_spark.operators.grouped import grouped_sketch_states
+
+    ev = _t(spark, sf_dir, "events")
+    states = grouped_sketch_states(
+        ev, "event_type", "user_id", lambda: CmsTopn(10, 0.00002, 0.99, update="linear")
+    ).collect()
+    rows = []
+    for r in states:
+        sk = sketch_from_bytes(bytes(r["state"]))
+        for uid in range(10):
+            f = sk.estimate(uid)
+            if f > 0:
+                rows.append((r["event_type"], uid, int(f)))
+    return spark.createDataFrame(rows, "event_type string, user_id long, frequency long")
+
+
 # -------------------------------------------------------------- relational
 
 
@@ -248,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_median_by_type": q_tdigest_median_by_type,
         "bloom_customer_semijoin": q_bloom_customer_semijoin,
         "mms_user_masks": q_mms_user_masks,
+        "grouped_user_freq": q_grouped_user_freq,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "top_nations_revenue": q_top_nations_revenue,
         "token_stats": q_token_stats,
@@ -308,6 +329,10 @@ def oracle_sql() -> dict[str, str]:
         "mms_user_masks": f"""
             SELECT user_id, bit_or({_MASK_EXPR})::BIGINT AS mask
             FROM events WHERE user_id < 30 GROUP BY user_id
+        """,
+        "grouped_user_freq": """
+            SELECT event_type, user_id, count(*)::BIGINT AS frequency
+            FROM events WHERE user_id < 10 GROUP BY event_type, user_id
         """,
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,

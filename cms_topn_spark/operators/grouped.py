@@ -1,0 +1,117 @@
+"""Two-level per-group sketch aggregation for high-cardinality GROUP BY.
+
+``groupwise.groupwise_estimate`` shuffles whole groups to single tasks —
+right when groups are few, wrong when a group's rows dwarf an executor. This
+operator is the scale form, the same shape as the global build:
+
+  stage 1 (map-side, shuffle-free): each task partitions its Arrow batches by
+      key with one C++ sort, folds every key-slice into that key's sketch,
+      and emits (group, state) — one row per (task, group-in-task);
+  stage 2: groupBy(group) over *sketch-sized* rows, applyInPandas merge.
+
+The shuffle therefore moves |groups-per-partition| · |state| bytes instead of
+the raw rows — the count-min analogue of a map-side combine. Skewed groups
+cost nothing extra: a hot key's rows stay where they are and fold locally.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame
+
+from ..core.base import merge_serialized
+from .build import pack_arrow_array
+
+
+def grouped_sketch_states(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    factory: Callable[[], object],
+) -> DataFrame:
+    """(group, state): one merged serialized sketch per group, two-level."""
+    gtype = dict(df.dtypes)[group_col]
+
+    def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sketches: dict = {}
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb]).combine_chunks()
+            keys = tbl.column(0)
+            order = pc.sort_indices(keys)
+            tbl = tbl.take(order)
+            keys = tbl.column(0).combine_chunks()
+            vals = tbl.column(1).combine_chunks()
+            if len(keys) == 0:
+                continue
+            # group boundaries on the sorted key column (C++-side compare)
+            kn = keys.to_numpy(zero_copy_only=False)
+            bounds = np.flatnonzero(
+                np.concatenate(([True], kn[1:] != kn[:-1], [True]))
+            )
+            for i in range(len(bounds) - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                key = kn[lo]
+                if key is None:
+                    continue
+                sl = vals.slice(lo, hi - lo)
+                if sl.null_count == len(sl):
+                    continue
+                sk = sketches.get(key)
+                if sk is None:
+                    sk = sketches[key] = factory()
+                data, offs, lens, tag = pack_arrow_array(sl)
+                sk.add_packed(data, offs, lens, type_tag=tag)
+        if sketches:
+            ks = list(sketches.keys())
+            yield pa.RecordBatch.from_pydict(
+                {
+                    group_col: pa.array(ks),
+                    "state": pa.array([sketches[k].to_bytes() for k in ks], pa.binary()),
+                }
+            )
+
+    states = df.select(group_col, value_col).mapInArrow(
+        partials, f"{group_col} {gtype}, state binary"
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for st in pdf["state"]:
+            acc = merge_serialized(acc, bytes(st))
+        return pd.DataFrame({group_col: [pdf[group_col].iloc[0]], "state": [acc]})
+
+    return states.groupBy(group_col).applyInPandas(
+        merge_group, f"{group_col} {gtype}, state binary"
+    )
+
+
+def grouped_topn(
+    df: DataFrame, group_col: str, value_col: str, n: int, e: float = 0.001, p: float = 0.99
+) -> DataFrame:
+    """Per-group heavy hitters: (group, item, frequency), freq desc per group."""
+    from ..core.base import sketch_from_bytes
+    from ..core.cms_topn import CmsTopn
+
+    gtype = dict(df.dtypes)[group_col]
+    states = grouped_sketch_states(
+        df, group_col, value_col, lambda: CmsTopn(n, e, p, update="linear")
+    )
+
+    def explode(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_i, out_f = [], [], []
+        for g, st in zip(pdf[group_col], pdf["state"]):
+            sk = sketch_from_bytes(bytes(st))
+            for item, freq in sk.topn_list():
+                out_g.append(g)
+                out_i.append(str(item))
+                out_f.append(freq)
+        return pd.DataFrame({group_col: out_g, "item": out_i, "frequency": out_f})
+
+    return states.groupBy(group_col).applyInPandas(
+        explode, f"{group_col} {gtype}, item string, frequency long"
+    )

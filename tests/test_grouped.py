@@ -1,0 +1,56 @@
+"""Two-level grouped sketch build vs exact group-by (scale form of GROUP BY
+sketch aggregation)."""
+
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cms_topn_spark.core import CmsTopn, sketch_from_bytes
+from cms_topn_spark.operators.grouped import grouped_sketch_states, grouped_topn
+
+
+def test_grouped_states_match_exact_counts(spark, sf001_dir):
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    states = grouped_sketch_states(
+        events, "event_type", "user_id", lambda: CmsTopn(10, 0.0001, 0.99, update="linear")
+    ).collect()
+    exact = {
+        (r["event_type"], r["user_id"]): r["c"]
+        for r in events.groupBy("event_type", "user_id").agg(F.count("*").alias("c")).collect()
+    }
+    assert {r["event_type"] for r in states} == {k for k, _ in exact}
+    for r in states:
+        sk = sketch_from_bytes(bytes(r["state"]))
+        for (et, uid), c in exact.items():
+            if et == r["event_type"] and uid < 20:
+                assert sk.estimate(int(uid)) == c
+
+
+def test_grouped_equals_per_group_filter_build(spark, sf001_dir):
+    from cms_topn_spark.functions.sketch_api import cms_topn_add_agg
+
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    states = {
+        r["event_type"]: sketch_from_bytes(bytes(r["state"]))
+        for r in grouped_sketch_states(
+            events, "event_type", "user_id", lambda: CmsTopn(5, update="linear")
+        ).collect()
+    }
+    for et in list(states)[:2]:
+        direct = cms_topn_add_agg(
+            events.where(F.col("event_type") == et), "user_id", n=5
+        )
+        assert np.array_equal(states[et].counters, direct.counters)
+        assert dict(states[et].topn_list()) == dict(direct.topn_list())
+
+
+def test_grouped_topn_shape(spark, sf001_dir):
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    out = grouped_topn(events, "event_type", "user_id", n=3, e=0.0001).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["event_type"], []).append(r["frequency"])
+    for g, freqs in by_group.items():
+        assert len(freqs) == 3
+        assert freqs == sorted(freqs, reverse=True)
