@@ -77,14 +77,19 @@ def cms_topn_add_agg(
     update: str = "linear",
     salt_partitions: int | None = None,
     fanin: int = 16,
+    count_col: str | None = None,
 ) -> CmsTopn | None:
     """Distributed cms_topn_add_agg: validates parameters eagerly (verbatim
-    errors), builds per-partition partials, tree-merges."""
+    errors), builds per-partition partials, tree-merges. With ``count_col``
+    the input is treated as pre-aggregated (item, count) pairs."""
+    from ..operators.build import weighted_ingest
+
     CmsTopn(n, e, p)  # eager parameter validation, same error order
+    cols = [column] if count_col is None else [column, count_col]
     return sketch_agg(
-        df.select(column),
+        df.select(*cols),
         lambda: CmsTopn(n, e, p, update=update),
-        default_ingest,
+        default_ingest if count_col is None else weighted_ingest,
         salt_partitions=salt_partitions,
         fanin=fanin,
     )

@@ -98,6 +98,17 @@ def default_ingest(sketch, batch: pa.RecordBatch) -> None:
         sketch.add_batch(arr.drop_null().to_numpy(zero_copy_only=False))
 
 
+def weighted_ingest(sketch, batch: pa.RecordBatch) -> None:
+    """Feed (item, count) pairs — for pre-aggregated inputs, e.g. the output
+    of an upstream groupBy that already holds partial counts."""
+    tbl = pa.Table.from_batches([batch]).drop_null()
+    if tbl.num_rows == 0:
+        return
+    data, offsets, lengths, tag = pack_arrow_array(tbl.column(0).combine_chunks())
+    counts = tbl.column(1).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    sketch.add_packed(data, offsets, lengths, counts=counts, type_tag=tag)
+
+
 def numeric_ingest(sketch, batch: pa.RecordBatch) -> None:
     """Feed column 0 as float64 values (quantile sketches)."""
     arr = batch.column(0)

@@ -168,3 +168,14 @@ class TestTreeMerge:
         assert len(rows) <= 4
         total_rows = sum(r["input_rows"] for r in rows)
         assert total_rows == events.count()
+
+
+class TestWeightedAdds:
+    def test_weighted_equals_raw(self, spark, events):
+        from pyspark.sql import functions as F
+
+        pre = events.groupBy("event_type").agg(F.count("*").alias("cnt"))
+        weighted = cms_topn_add_agg(pre, "event_type", n=5, count_col="cnt")
+        raw = cms_topn_add_agg(events, "event_type", n=5)
+        assert np.array_equal(weighted.counters, raw.counters)
+        assert dict(weighted.topn_list()) == dict(raw.topn_list())
