@@ -288,6 +288,18 @@ class CmsTopn(MergeableSketch):
     # ---------------- merge ----------------
 
     def merge(self, other: "CmsTopn") -> "CmsTopn":
+        """Union per expected/union.out: counters sum elementwise, candidates
+        = union of both top-n sets re-ranked against the merged counters,
+        seq ranges concatenate (a's items order before b's on frequency ties).
+
+        Associativity: counters, totals and all estimates are associative for
+        any merge tree. Serialized bytes are additionally identical across
+        merge orders whenever the candidate set is stable (no intermediate
+        truncation drops an item that re-enters later) — the normal
+        heavy-hitter regime; a dropped-and-re-entered item keeps its frequency
+        but gets a merge-path-dependent insertion-order tie-break, exactly as
+        the reference's insertion-ordered array would (property-tested in
+        tests/test_properties.py)."""
         if not isinstance(other, CmsTopn):
             raise SketchError("cannot merge cms_topns of different types")
         if (

@@ -154,6 +154,56 @@ def cms_topn_info(sketch: CmsTopn | None) -> str | None:
     return None if sketch is None else sketch.info()
 
 
+def cms_topn_add_udf():
+    """Row-wise cms_topn_add over a sketch-state column: (state BINARY, item)
+    → new state BINARY. NULL state → NULL, NULL item → state unchanged
+    (expected/add.out:4-36). This mirrors the reference's scalar form for
+    tables that carry sketch columns (sql/add.sql); the bulk path
+    (cms_topn_add_agg) is the one to use for building."""
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def add(states: pd.Series, items: pd.Series) -> pd.Series:
+        out = []
+        for st, item in zip(states, items):
+            if st is None:
+                out.append(None)
+                continue
+            sk = sketch_from_bytes(bytes(st))
+            if item is not None:
+                sk.add(item)
+            out.append(sk.to_bytes())
+        return pd.Series(out)
+
+    return add
+
+
+def topn_explode(df: DataFrame, state_col: str = "state") -> DataFrame:
+    """Per-row topn() SRF over a table of serialized sketches — the COPY
+    round-trip scenario (output/copy.source:9-17: 6 sketches → concatenated
+    groups). NULL/empty states contribute 0 rows."""
+    from pyspark.sql.types import ArrayType
+
+    item_schema = StructType(
+        [StructField("item", StringType(), True), StructField("frequency", LongType(), True)]
+    )
+
+    @pandas_udf(ArrayType(item_schema))
+    def explode_topn(states: pd.Series) -> pd.Series:
+        out = []
+        for st in states:
+            if st is None:
+                out.append([])
+                continue
+            sk = sketch_from_bytes(bytes(st))
+            out.append([(str(i), int(f)) for i, f in sk.topn_list()])
+        return pd.Series(out)
+
+    return df.select(
+        "*", F.explode(explode_topn(F.col(state_col))).alias("_t")
+    ).select(*[c for c in df.columns], F.col("_t.item").alias("item"), F.col("_t.frequency").alias("frequency"))
+
+
 def frequency_udf(sketch_bytes: bytes):
     """Vectorized column probe: broadcast the serialized sketch, estimate a
     whole Arrow batch per call (§3.2 of SURVEY.md — one JVM→Python crossing

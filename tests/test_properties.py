@@ -1,0 +1,165 @@
+"""Property-based tests (hypothesis) for the mergeable-state protocol
+(SURVEY.md §5.2(2)): one-sided error, the ε·N bound, byte-for-byte merge
+algebra, round-trips, and partition-invariance — over randomized streams."""
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cms_topn_spark.core import (
+    BloomFilter,
+    CmsTopn,
+    HyperLogLog,
+    KllSketch,
+    TDigest,
+    merge_serialized,
+    sketch_from_bytes,
+)
+from cms_topn_spark.core import encoding as enc
+
+SETTINGS = dict(
+    max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+items = st.lists(st.integers(min_value=0, max_value=500), min_size=0, max_size=800)
+
+
+@given(vals=items)
+@settings(**SETTINGS)
+def test_cms_never_underestimates(vals):
+    s = CmsTopn(5, 0.01, 0.99, update="linear")
+    s.add_batch(vals, type_tag=enc.TYPE_INT64)
+    uniq, counts = np.unique(vals, return_counts=True) if vals else ([], [])
+    for v, c in zip(np.asarray(uniq).tolist(), np.asarray(counts).tolist()):
+        assert s.estimate(int(v)) >= c
+
+
+@given(vals=items, cut=st.integers(min_value=0, max_value=800))
+@settings(**SETTINGS)
+def test_cms_linear_split_merge_equals_whole(vals, cut):
+    cut = min(cut, len(vals))
+    whole = CmsTopn(5, 0.01, 0.99, update="linear")
+    whole.add_batch(vals, type_tag=enc.TYPE_INT64)
+    a = CmsTopn(5, 0.01, 0.99, update="linear")
+    a.add_batch(vals[:cut], type_tag=enc.TYPE_INT64)
+    b = CmsTopn(5, 0.01, 0.99, update="linear")
+    b.add_batch(vals[cut:], type_tag=enc.TYPE_INT64)
+    merged = a.merge(b)
+    assert np.array_equal(merged.counters, whole.counters)
+    assert merged.total == whole.total
+    # topn sets re-ranked against identical counters ⇒ same (item, freq) map
+    # whenever candidate sets cover the same survivors; with n=5 over <=500
+    # distinct ints both candidate unions contain every item with freq >= min
+    assert merged.to_bytes() == whole.to_bytes()
+
+
+@given(vals=st.lists(st.integers(0, 2000), min_size=0, max_size=600), k=st.integers(2, 4))
+@settings(**SETTINGS)
+def test_merge_associativity_semantic(vals, k):
+    """Counters, totals and estimates are associative for EVERY stream.
+
+    (Byte-exactness additionally requires a stable candidate set — see
+    test_merge_associativity_bytes_stable — because when an intermediate
+    truncation drops an item that later re-enters, its insertion-order
+    tie-break seq becomes merge-path-dependent. The reference's
+    insertion-ordered top-n array has the same property.)"""
+    parts = []
+    for i in range(k):
+        p = CmsTopn(4, 0.01, 0.99, update="linear")
+        p.add_batch(vals[i::k], type_tag=enc.TYPE_INT64)
+        parts.append(p.to_bytes())
+    left = parts[0]
+    for x in parts[1:]:
+        left = merge_serialized(left, x)
+    right = parts[-1]
+    for x in reversed(parts[:-1]):
+        right = merge_serialized(x, right)
+    ls, rs = sketch_from_bytes(left), sketch_from_bytes(right)
+    assert np.array_equal(ls.counters, rs.counters)
+    assert ls.total == rs.total
+    for v in set(vals):
+        assert ls.estimate(v) == rs.estimate(v)
+
+
+@given(vals=st.lists(st.integers(0, 3), min_size=0, max_size=600), k=st.integers(2, 4))
+@settings(**SETTINGS)
+def test_merge_associativity_bytes_stable(vals, k):
+    """Byte-for-byte associativity in the stable-candidate regime (distinct
+    values ≤ n, so no intermediate truncation ever drops a candidate)."""
+    parts = []
+    for i in range(k):
+        p = CmsTopn(4, 0.01, 0.99, update="linear")
+        p.add_batch(vals[i::k], type_tag=enc.TYPE_INT64)
+        parts.append(p.to_bytes())
+    left = parts[0]
+    for x in parts[1:]:
+        left = merge_serialized(left, x)
+    right = parts[-1]
+    for x in reversed(parts[:-1]):
+        right = merge_serialized(x, right)
+    assert left == right
+
+
+@given(vals=items)
+@settings(**SETTINGS)
+def test_roundtrip_every_kind(vals):
+    fvals = [float(v) for v in vals]
+    sketches = [
+        CmsTopn(3, 0.01, 0.99),
+        HyperLogLog(p=10),
+        BloomFilter(capacity=1000, fpp=1e-4),
+        KllSketch(k=64),
+        TDigest(delta=50),
+    ]
+    for sk in sketches[:3]:
+        if vals:
+            sk.add_batch(vals, type_tag=enc.TYPE_INT64)
+    for sk in sketches[3:]:
+        if fvals:
+            sk.add_batch(np.asarray(fvals))
+    for sk in sketches:
+        b = sk.to_bytes()
+        assert sketch_from_bytes(b).to_bytes() == b
+
+
+@given(vals=st.lists(st.integers(0, 300), min_size=1, max_size=500))
+@settings(**SETTINGS)
+def test_hll_sparse_exact_any_split(vals):
+    whole = HyperLogLog(p=12, sparse_limit=1 << 16)
+    whole.add_batch(vals, type_tag=enc.TYPE_INT64)
+    a = HyperLogLog(p=12, sparse_limit=1 << 16)
+    b = HyperLogLog(p=12, sparse_limit=1 << 16)
+    a.add_batch(vals[0::2], type_tag=enc.TYPE_INT64)
+    b.add_batch(vals[1::2], type_tag=enc.TYPE_INT64)
+    m = a.merge(b)
+    assert m.estimate() == len(set(vals))
+    assert m.to_bytes() == whole.to_bytes()  # sorted sparse set is canonical
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=300
+    ),
+    q=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(**SETTINGS)
+def test_kll_exact_regime_is_quantile_cont(vals, q):
+    s = KllSketch(k=512)  # > max_size ⇒ exact
+    s.add_batch(np.asarray(vals))
+    v = np.sort(np.asarray(vals))
+    t = q * (len(v) - 1)
+    i = int(np.floor(t))
+    j = min(i + 1, len(v) - 1)
+    expect = v[i] + (v[j] - v[i]) * (t - i)
+    got = s.quantile(q)
+    assert got == expect or abs(got - expect) < 1e-9 * max(1.0, abs(expect))
+
+
+@given(vals=st.lists(st.integers(0, 10**9), min_size=0, max_size=400))
+@settings(**SETTINGS)
+def test_bloom_no_false_negatives(vals):
+    bf = BloomFilter(capacity=500, fpp=1e-4)
+    if vals:
+        bf.add_batch(vals, type_tag=enc.TYPE_INT64)
+    for v in vals[:50]:
+        assert bf.contains(v)

@@ -179,3 +179,36 @@ class TestWeightedAdds:
         raw = cms_topn_add_agg(events, "event_type", n=5)
         assert np.array_equal(weighted.counters, raw.counters)
         assert dict(weighted.topn_list()) == dict(raw.topn_list())
+
+
+class TestSketchColumnForms:
+    def test_cms_topn_add_udf_rowwise(self, spark):
+        # the reference's scalar cms_topn_add over a sketch column
+        from cms_topn_spark.functions.sketch_api import cms_topn_add_udf, topn_explode
+
+        base = CmsTopn(2).to_bytes()
+        df = spark.createDataFrame(
+            [(1, base, "alpha"), (2, base, "beta"), (3, None, "gamma"), (4, base, None)],
+            "id int, state binary, item string",
+        )
+        add = cms_topn_add_udf()
+        out = df.withColumn("state2", add(F.col("state"), F.col("item"))).collect()
+        by_id = {r["id"]: r["state2"] for r in out}
+        assert by_id[3] is None  # NULL sketch → NULL
+        assert bytes(by_id[4]) == base  # NULL item → unchanged
+        assert sketch_from_bytes(bytes(by_id[1])).topn_list() == [("alpha", 1)]
+
+    def test_topn_explode_over_sketch_table(self, spark, events):
+        # copy.source scenario: table of sketches → concatenated topn groups
+        from cms_topn_spark.functions.sketch_api import topn_explode
+
+        states = build_partials(
+            events.select("event_type").repartition(3), lambda: CmsTopn(2, update="linear")
+        )
+        rows = topn_explode(states.select("partition_id", "state")).collect()
+        assert len(rows) == 3 * 2  # 3 sketches × top-2 each
+        groups = {}
+        for r in rows:
+            groups.setdefault(r["partition_id"], []).append(r["frequency"])
+        for freqs in groups.values():
+            assert freqs == sorted(freqs, reverse=True)
