@@ -100,6 +100,85 @@ def sketch_stream_agg(
     return writer.start()
 
 
+def windowed_sketch_stream(
+    stream_df,
+    ts_col: str,
+    value_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    factory: Callable[[], object],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Event-time windowed sketch build: one mergeable state PER WINDOW.
+
+    Late rows (within the watermark) fold into their window's existing state
+    — merges are commutative, so late data needs no reprocessing. State files
+    are ``state_dir/w=<window_start_unix>.bin``; the same batch-id high-water
+    mark makes replays idempotent. Read any window any time with
+    :func:`read_window_states`."""
+    import pyspark.sql.functions as F
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_id <= _read_committed(state_dir):
+            return
+        win = batch_df.withColumn(
+            "_w", F.window(F.col(ts_col), window).start.cast("long")
+        ).select("_w", value_col)
+        states = (
+            win.repartition("_w")
+            .groupBy("_w")
+            .applyInPandas(_window_partial(factory, value_col), "_w long, state binary")
+            .collect()
+        )
+        for r in states:
+            path = os.path.join(state_dir, f"w={r['_w']}.bin")
+            prev = None
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    prev = f.read()
+            merged = merge_serialized(prev, bytes(r["state"]))
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(merged)
+            os.replace(tmp, path)
+        tmp = os.path.join(state_dir, f".{COMMIT_FILE}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, os.path.join(state_dir, COMMIT_FILE))
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _window_partial(factory, value_col: str):
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = factory()
+        vals = pdf[value_col].dropna()
+        if len(vals):
+            sk.add_batch(vals.astype(str).tolist())
+        return pd.DataFrame({"_w": [pdf["_w"].iloc[0]], "state": [sk.to_bytes()]})
+
+    return run
+
+
+def read_window_states(state_dir: str) -> dict[int, object]:
+    """window_start_unix → deserialized sketch."""
+    out = {}
+    for f in os.listdir(state_dir):
+        if f.startswith("w=") and f.endswith(".bin"):
+            with open(os.path.join(state_dir, f), "rb") as fh:
+                out[int(f[2:-4])] = sketch_from_bytes(fh.read())
+    return out
+
+
 def keyed_sketch_stream(
     stream_df,
     key_col: str,

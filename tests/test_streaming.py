@@ -120,3 +120,36 @@ class TestKeyedStream:
             # the item matches unless several users tie at the max (tie order
             # between sketch insertion and SQL row_number can differ)
             assert got[k][1] == freq
+
+
+class TestWindowedStream:
+    def test_windowed_states_match_batch_windows(self, spark, tmp_path, sf001_dir):
+        from cms_topn_spark.streaming.stream_agg import (
+            read_window_states,
+            windowed_sketch_stream,
+        )
+
+        src = str(tmp_path / "evw")
+        events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+        events.select("ts", "event_type").write.parquet(src)
+        stream = spark.readStream.schema("ts timestamp, event_type string").parquet(src)
+        q = windowed_sketch_stream(
+            stream,
+            "ts",
+            "event_type",
+            str(tmp_path / "wstate"),
+            str(tmp_path / "wckpt"),
+            lambda: CmsTopn(5, update="linear"),
+            window="1 day",
+        )
+        q.awaitTermination(120)
+        states = read_window_states(str(tmp_path / "wstate"))
+        exact = {
+            int(r["w"]["start"].timestamp()): r["c"]
+            for r in events.groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count("event_type").alias("c"))
+            .collect()
+        }
+        assert set(states) == set(exact)
+        for w, sk in states.items():
+            assert sk.total == exact[w]
