@@ -247,6 +247,19 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
 
 
+COSINE_DUP_THRESHOLD = 0.4
+
+
+def q_cosine_near_dup_pairs(spark, sf_dir):
+    return similarity.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD
+    )
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------------ entry
 
 
@@ -281,6 +294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -359,4 +374,6 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": jaccard,
         "minhash_lsh_pairs": jaccard,
         "ann_brute_topk": similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=5),
+        "cosine_near_dup_pairs": similarity.cosine_near_dup_pairs_sql(COSINE_DUP_THRESHOLD),
+        # winnow_fingerprints intentionally rows-only (hash output)
     }

@@ -270,6 +270,51 @@ def minhash_lsh_pairs(
     return verified
 
 
+# ------------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(
+    df: DataFrame, window: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    k-gram rolling-hash sequence → min hash per sliding window of ``window``
+    positions → distinct selected hashes per doc. Robust to local edits; the
+    standard plagiarism/near-dup fingerprint. Output: (doc_id, fp) rows."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            pdf = rb.to_pandas()
+            out_ids, out_fp = [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                t = t or ""
+                k = SHINGLE_K
+                n = max(len(t) - k + 1, 1)
+                b = np.frombuffer(t.encode("utf-8").ljust(n + k - 1, b"\0"), np.uint8)
+                win = np.lib.stride_tricks.sliding_window_view(b, k)[:n]
+                key64 = np.ascontiguousarray(win).view("<u8").ravel()
+                h = _splitmix64(key64.astype(np.int64))  # positional rolling hashes
+                if len(h) >= window:
+                    mins = np.min(
+                        np.lib.stride_tricks.sliding_window_view(h, window), axis=1
+                    )
+                else:
+                    mins = np.array([h.min()], dtype=np.uint64)
+                fps = np.unique(mins).astype(np.int64)
+                out_ids.extend([doc_id] * len(fps))
+                out_fp.extend(fps.tolist())
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": pa.array(out_ids, pa.int64()),
+                    "fp": pa.array(out_fp, pa.int64()),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInArrow(fn, "doc_id long, fp long")
+
+
 # ---------------------------------------------------------------- simhash
 
 

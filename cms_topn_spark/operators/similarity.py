@@ -118,6 +118,56 @@ def brute_force_topk_sql(query_ids: list[int], k: int = 5, table: str = "embeddi
     """
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id, b_id) with cos ≥ t, a<b.
+
+    Exactness baseline: the corpus matrix is broadcast (normalized float64)
+    and each partition GEMMs its rows against it — O(n²/P) per task, fine up
+    to ~10⁵ vectors. At web scale, swap the candidate generation for the LSH
+    buckets of :func:`lsh_topk` (same verify step); the broadcast variant is
+    what the DuckDB oracle can check exactly."""
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for rb in batches:
+            my_ids = rb.column(0).to_numpy()
+            my_mat = _batch_embedding_matrix(rb.column(1))
+            my_mat = my_mat / np.linalg.norm(my_mat, axis=1, keepdims=True)
+            sims = my_mat @ all_mat.T
+            keep = sims >= threshold
+            # a < b halves the output and drops self-pairs
+            keep &= my_ids[:, None] < all_ids[None, :]
+            r, c = np.nonzero(keep)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "a_id": pa.array(my_ids[r], pa.int64()),
+                    "b_id": pa.array(all_ids[c], pa.int64()),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(fn, "a_id long, b_id long")
+
+
+def cosine_near_dup_pairs_sql(threshold: float, table: str = "embeddings") -> str:
+    return f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
+    """
+
+
 # ------------------------------------------------------------- LSH path
 
 
