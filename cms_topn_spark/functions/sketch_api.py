@@ -204,6 +204,21 @@ def topn_explode(df: DataFrame, state_col: str = "state") -> DataFrame:
     ).select(*[c for c in df.columns], F.col("_t.item").alias("item"), F.col("_t.frequency").alias("frequency"))
 
 
+_WORKER_SKETCH_CACHE: dict = {}
+
+
+def _cached_sketch(b: bytes):
+    """Per-worker deserialization cache: probe UDFs receive the same sketch
+    bytes on every batch; parsing a multi-MB state per batch is pure waste."""
+    key = (len(b), hash(b))
+    sk = _WORKER_SKETCH_CACHE.get(key)
+    if sk is None:
+        if len(_WORKER_SKETCH_CACHE) > 8:
+            _WORKER_SKETCH_CACHE.clear()
+        sk = _WORKER_SKETCH_CACHE[key] = sketch_from_bytes(b)
+    return sk
+
+
 def frequency_udf(sketch_bytes: bytes):
     """Vectorized column probe: broadcast the serialized sketch, estimate a
     whole Arrow batch per call (§3.2 of SURVEY.md — one JVM→Python crossing
@@ -211,7 +226,7 @@ def frequency_udf(sketch_bytes: bytes):
 
     @pandas_udf(LongType())
     def probe(items: pd.Series) -> pd.Series:
-        sk = sketch_from_bytes(sketch_bytes)
+        sk = _cached_sketch(sketch_bytes)
         arr = pa.Array.from_pandas(items)
         mask = items.notna().to_numpy()
         out = np.zeros(len(items), dtype=np.int64)
@@ -266,7 +281,7 @@ def mms_add_agg(
 def bloom_contains_udf(bloom_bytes: bytes):
     @pandas_udf(BooleanType())
     def probe(items: pd.Series) -> pd.Series:
-        bf = sketch_from_bytes(bloom_bytes)
+        bf = _cached_sketch(bloom_bytes)
         arr = pa.Array.from_pandas(items)
         mask = items.notna().to_numpy()
         out = np.zeros(len(items), dtype=bool)
