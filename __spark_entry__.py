@@ -9,8 +9,9 @@ sparse-exact HLL, uncompacted KLL/t-digest) so the comparison is equality,
 per SURVEY.md §5.2(3).
 
 Queries intentionally without an oracle (driver records rows-only):
-  - simhash_docs, ann_lsh_topk: hash-function outputs no SQL engine can
-    reproduce (the exactness baselines jaccard_pairs_* / ann_brute_topk are
+  - simhash_docs, ann_lsh_topk, winnow_fingerprints: hash-function outputs no
+    SQL engine can reproduce (their exactness baselines — jaccard_pairs_*,
+    ann_brute_topk, cosine_near_dup_pairs, doc_fingerprints — are
     oracle-checked instead).
 """
 
