@@ -48,7 +48,7 @@ HEADLINE = [
     "ann_brute_topk",
 ]
 
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000000"))
 SCALING_LEVELS = (2, 8)  # N vs 4N cores; see BENCH/BASELINE.md for the protocol
 
 
@@ -121,7 +121,11 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
             spark = get_spark(f"bench-scaling-{cpus}", cpus=cpus, shuffle_partitions=cpus)
             warmup(spark, cpus)
             pages = spark.read.parquet(input_path).select("url", "text")
-            flagship_build(spark, input_path, pages)  # warm this session's workers
+            # warm this session's workers (arena fault-in + codegen) on a
+            # half-sample: touches every partition at ~half the cost
+            from cms_topn_spark.plans.flagship import run_flagship
+
+            run_flagship(pages.sample(0.5, seed=1))
             t0 = time.monotonic()
             total = flagship_build(spark, input_path, pages)
             wall = time.monotonic() - t0
@@ -173,7 +177,7 @@ def main() -> None:
         # a Python worker over ~1.7 cores, so (1,4) deflates the ratio);
         # 5 interleaved reps, best-of, to catch quiet windows on this noisy
         # shared box — see BENCH/BASELINE.md
-        scaling_28 = run_scaling(input_path, SCALING_DOCS, levels=(2, 8), reps=5)
+        scaling_28 = run_scaling(input_path, SCALING_DOCS, levels=(2, 8), reps=3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
