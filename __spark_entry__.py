@@ -18,7 +18,10 @@ Queries intentionally without an oracle (driver records rows-only):
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # cwd-independent
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
