@@ -154,6 +154,7 @@ def main() -> None:
     log(f"headline queries at {sf_dir}, local[{cpus}]")
     queries = run_headline(sf_dir, cpus)
 
+    loadavg_pre = round(os.getloadavg()[0], 2)  # ambient before scaling runs
     log(f"scaling protocol: {SCALING_DOCS} webpages at local[2] vs local[8]")
     tmp = tempfile.mkdtemp(prefix="bench_webpages_")
     input_path = os.path.join(tmp, "webpages.parquet")
@@ -195,11 +196,11 @@ def main() -> None:
                     "local2": scaling_28[2],
                     "local8": scaling_28[8],
                     "efficiency": scaling_28["efficiency"],
-                    # ambient host load when measured — this shared box sees
-                    # external load spikes that disproportionately hit the
-                    # higher-parallelism level (BENCH/BASELINE.md §2);
-                    # best observed on a quiet box: 0.848
-                    "loadavg_1m": round(os.getloadavg()[0], 2),
+                    # ambient host load before the scaling section — this
+                    # shared box sees external load spikes that hit the
+                    # higher-parallelism level disproportionately
+                    # (BENCH/BASELINE.md §2); best observed quiet-box: 0.848
+                    "loadavg_1m": loadavg_pre,
                 },
             }
         ),
