@@ -118,7 +118,15 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
     best = {c: 1e18 for c in levels}
     for rep in range(reps):
         for cpus in levels:
-            spark = get_spark(f"bench-scaling-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+            spark = get_spark(
+                f"bench-scaling-{cpus}",
+                cpus=cpus,
+                shuffle_partitions=cpus,
+                # one ~12MB file per split: uniform task sizes kill the
+                # greedy-file-packing stragglers (2-4x task variance), which
+                # stabilizes the higher level's wave quantization
+                extra_conf={"spark.sql.files.maxPartitionBytes": "16777216"},
+            )
             warmup(spark, cpus)
             pages = spark.read.parquet(input_path).select("url", "text")
             # warm this session's workers (arena fault-in + codegen) on a
@@ -163,7 +171,7 @@ def main() -> None:
         from cms_topn_spark.spark_session import get_spark
 
         spark = get_spark("bench-gen", cpus=cpus)
-        generate_webpages(spark, SCALING_DOCS, partitions=96).write.mode("overwrite").parquet(
+        generate_webpages(spark, SCALING_DOCS, partitions=64).write.mode("overwrite").parquet(
             input_path
         )
         spark.stop()
