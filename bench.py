@@ -159,9 +159,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
-    log(f"headline queries at {sf_dir}, local[{cpus}]")
-    queries = run_headline(sf_dir, cpus)
-
+    # scaling first: the headline section runs at local[32] and leaves a
+    # 1-minute load shadow that would contaminate the scaling measurements
     loadavg_pre = round(os.getloadavg()[0], 2)  # ambient before scaling runs
     log(f"scaling protocol: {SCALING_DOCS} webpages at local[2] vs local[8]")
     tmp = tempfile.mkdtemp(prefix="bench_webpages_")
@@ -189,6 +188,9 @@ def main() -> None:
         scaling_28 = run_scaling(input_path, SCALING_DOCS, levels=(2, 8), reps=3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    log(f"headline queries at {sf_dir}, local[{cpus}]")
+    queries = run_headline(sf_dir, cpus)
 
     total = round(sum(queries.values()), 3)
     print(
