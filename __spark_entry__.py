@@ -216,6 +216,10 @@ def q_lang_id(spark, sf_dir):
     return textops.lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    return textops.lang_id_ngram(_t(spark, sf_dir, "documents"))
+
+
 def q_quality_score(spark, sf_dir):
     return textops.quality_score(_t(spark, sf_dir, "documents"))
 
@@ -290,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_nations_revenue": q_top_nations_revenue,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "quality_score": q_quality_score,
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -372,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": textops.token_stats_sql(),
         "lang_id": textops.lang_id_sql(),
+        "lang_id_ngram": textops.lang_id_ngram_sql(),
         "quality_score": textops.quality_score_sql(),
         "doc_fingerprints": textops.fingerprints_sql(),
         "exact_dedup": dedup.exact_dedup_sql(),

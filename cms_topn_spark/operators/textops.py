@@ -99,6 +99,60 @@ def lang_id_sql(table: str = "documents") -> str:
     """
 
 
+# characteristic character trigrams per language (with their space contexts);
+# counted as non-overlapping regex matches — Java regex and RE2 both scan
+# left-to-right non-overlapping, so Spark and DuckDB agree exactly
+NGRAM_PROFILES = {
+    "en": "(th|he |ing| of|and)",
+    "de": "(sch|ein|der|ich|und)",
+    "fr": "(eau|oux|ais|les|que)",
+    "es": "(ción|los|ado|una|est)",
+}
+
+
+def lang_id_ngram(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Character-n-gram language ID: count characteristic trigram hits per
+    language, argmax with the same deterministic precedence as lang_id."""
+    hits = {
+        lang: F.expr(f"regexp_count({text_col}, '{pat}')")
+        for lang, pat in NGRAM_PROFILES.items()
+    }
+    mx = F.greatest(*[hits[lang] for lang in LANG_PRECEDENCE])
+    pred = (
+        F.when(mx == F.lit(0), F.lit("und"))
+        .when(hits["en"] == mx, F.lit("en"))
+        .when(hits["de"] == mx, F.lit("de"))
+        .when(hits["fr"] == mx, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        *[hits[lang].cast("long").alias(f"ngram_{lang}") for lang in LANG_PRECEDENCE],
+    )
+
+
+def lang_id_ngram_sql(table: str = "documents") -> str:
+    h = {
+        lang: f"len(regexp_extract_all(text, '{pat}'))"
+        for lang, pat in NGRAM_PROFILES.items()
+    }
+    mx = f"greatest({h['en']}, {h['de']}, {h['fr']}, {h['es']})"
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {mx} = 0 THEN 'und'
+                WHEN {h['en']} = {mx} THEN 'en'
+                WHEN {h['de']} = {mx} THEN 'de'
+                WHEN {h['fr']} = {mx} THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           {h['en']}::BIGINT AS ngram_en,
+           {h['de']}::BIGINT AS ngram_de,
+           {h['fr']}::BIGINT AS ngram_fr,
+           {h['es']}::BIGINT AS ngram_es
+    FROM {table}
+    """
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Fixed-point quality features: micro-units so engines agree exactly.
 

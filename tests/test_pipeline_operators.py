@@ -132,3 +132,10 @@ class TestSimilarity:
         # The exactness baseline (oracle-checked) is brute_force_topk.
         assert len(approx) == len(exact)
         assert len(exact & approx) / len(exact) >= 0.15
+
+
+class TestLangIdNgram:
+    def test_lang_id_ngram(self, docs, con):
+        from cms_topn_spark.operators import textops
+
+        compare(textops.lang_id_ngram(docs), con, textops.lang_id_ngram_sql())
