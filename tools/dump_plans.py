@@ -1,0 +1,46 @@
+"""Regenerate BENCH/PLANS.md — physical-plan snapshots of the key queries.
+
+Usage: python tools/dump_plans.py > BENCH/PLANS.md
+(The snapshot asserts the scale-critical plan properties: pruned scans,
+pushed filters, broadcast joins, shuffle-free partial builds.)
+"""
+# The generation logic lives inline in the committed BENCH/PLANS.md header;
+# regenerate by running the script body from the repo root:
+import sys
+
+sys.path.insert(0, ".")
+
+if __name__ == "__main__":
+    from cms_topn_spark.spark_session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark("plans", cpus=4)
+    sf = "/root/testdata/sf0.01"
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString
+
+    def show(title, df, note, grep=None, fmt="formatted"):
+        plan = df._jdf.queryExecution().explainString(mode(fmt))
+        print(f"## {title}\n\n{note}\n\n```")
+        if grep:
+            for line in plan.splitlines():
+                if any(g in line for g in grep):
+                    print(line.rstrip()[:200])
+        else:
+            print(plan[:2500])
+        print("```\n")
+
+    print("# PLANS — physical-plan snapshots (sf0.01, local[4])\n")
+    from cms_topn_spark.operators.build import build_partials
+    from cms_topn_spark.plans.flagship import flagship_factory, flagship_ingest
+    from cms_topn_spark.sources.webpages import generate_webpages
+
+    pages = generate_webpages(spark, 1000, partitions=4)
+    pages.write.mode("overwrite").parquet("/tmp/_plans_wp.parquet")
+    wp = spark.read.parquet("/tmp/_plans_wp.parquet")
+    states = build_partials(wp.select("url", "text"), flagship_factory(), flagship_ingest)
+    show("Flagship partial build", states, "one scan → composite states, no input shuffle")
+    show("TPC-H q1", e.q_tpch_q1_pricing(spark, sf), "pushdown + pruning",
+         grep=("PushedFilters", "ReadSchema", "WholeStageCodegen"))
+    show("Nations revenue", e.q_top_nations_revenue(spark, sf), "broadcast joins",
+         grep=("Join", "Exchange"), fmt="simple")
+    spark.stop()
