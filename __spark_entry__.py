@@ -44,7 +44,27 @@ from cms_topn_spark.operators.build import build_partials
 from cms_topn_spark.operators.groupwise import groupwise_estimate
 
 
+_PYFILES_SESSIONS: set = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """If the driver session was created elsewhere (so workers never saw our
+    PYTHONPATH), ship the package as a py-file — addPyFile works mid-session."""
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SESSIONS:
+        return
+    _PYFILES_SESSIONS.add(key)
+    import tempfile
+
+    from tools.make_pyfiles_zip import build
+
+    zip_path = os.path.join(tempfile.gettempdir(), "cms_topn_spark_pyfiles.zip")
+    build(zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_workers_can_import(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -27,6 +27,12 @@ def get_spark(
     # reuse pages across Arrow batches/tasks. Exported before the JVM forks
     # so every pyspark.daemon worker inherits it.
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    # make the package importable in python workers regardless of the
+    # driver's cwd (workers inherit env, not the driver's sys.path)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
