@@ -146,12 +146,23 @@ def q_tdigest_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bloom_customer_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    bf = bloom_add_agg(orders, "o_custkey", capacity=max(orders.count(), 1), fpp=1e-9)
-    probe = bloom_contains_udf(bf.to_bytes())
-    n = customer.where(probe(F.col("c_custkey"))).count()
-    return spark.createDataFrame([(int(n),)], "matched_customers long")
+    """Bloom semi-join sized from parquet footers (zero extra scan): one pass
+    over orders to build partial filters (OR-merged), one pass over customer
+    to probe. fpp=1e-6 keeps the expected false-positive count ≪ 1 at any SF
+    the sandbox holds while the bit array stays broadcast-sized."""
+    from cms_topn_spark.functions.sketch_api import bloom_semi_join
+    from cms_topn_spark.sources.parquet_meta import parquet_row_count
+
+    capacity = max(parquet_row_count(os.path.join(sf_dir, "orders.parquet")), 1)
+    matched = bloom_semi_join(
+        _t(spark, sf_dir, "customer"),
+        "c_custkey",
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        capacity=capacity,
+        fpp=1e-6,
+    )
+    return matched.agg(F.count("*").alias("matched_customers"))
 
 
 _MASK_EXPR = (
@@ -161,36 +172,37 @@ _MASK_EXPR = (
 
 
 def q_mms_user_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-mask sketch: per-user OR of event-type permission bits (§2.1 #6-8)."""
+    """Min-mask sketch: per-user OR of event-type permission bits (§2.1 #6-8).
+    The probe is a vectorized column UDF (mask_udf) — no driver-side loop, the
+    same distributed shape that scales to any probe-set size."""
+    from cms_topn_spark.functions.sketch_api import mask_udf
+
     ev = (
         _t(spark, sf_dir, "events")
         .where(F.col("user_id") < 30)
         .select("user_id", F.expr(_MASK_EXPR).alias("mask"))
     )
     mms = mms_add_agg(ev, "user_id", "mask", e=0.000005)
-    probe_ids = [r["user_id"] for r in ev.select("user_id").distinct().collect()]
-    rows = [(int(u), int(mms.get_mask(int(u)))) for u in probe_ids]
-    return spark.createDataFrame(rows, "user_id long, mask long")
+    probe = mask_udf(mms.to_bytes())
+    return (
+        ev.select("user_id").distinct().withColumn("mask", probe(F.col("user_id")))
+    )
 
 
 def q_grouped_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level per-group CMS build (operators/grouped.py): per event_type,
-    frequencies of user_ids < 10; zero-count pairs drop (exact at this width)."""
-    from cms_topn_spark.core import CmsTopn, sketch_from_bytes
-    from cms_topn_spark.operators.grouped import grouped_sketch_states
+    frequencies of user_ids < 10; zero-count pairs drop (exact at this width).
+    States are probed distributed via grouped_probe — no .collect() of data."""
+    from cms_topn_spark.core import CmsTopn
+    from cms_topn_spark.operators.grouped import grouped_probe, grouped_sketch_states
 
     ev = _t(spark, sf_dir, "events")
     states = grouped_sketch_states(
         ev, "event_type", "user_id", lambda: CmsTopn(10, 0.00002, 0.99, update="linear")
-    ).collect()
-    rows = []
-    for r in states:
-        sk = sketch_from_bytes(bytes(r["state"]))
-        for uid in range(10):
-            f = sk.estimate(uid)
-            if f > 0:
-                rows.append((r["event_type"], uid, int(f)))
-    return spark.createDataFrame(rows, "event_type string, user_id long, frequency long")
+    )
+    return grouped_probe(
+        states, "event_type", list(range(10)), item_col="user_id", item_type="long"
+    ).where(F.col("frequency") > 0)
 
 
 # -------------------------------------------------------------- relational
@@ -288,6 +300,75 @@ def q_winnow_fingerprints(spark, sf_dir):
     return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+# ----------------------------------------------------- canonical ordering
+#
+# The driver's value-hash compares Spark vs DuckDB outputs; both engines emit
+# group-by/join results in engine-dependent order. Every query therefore gets
+# one canonical ORDER BY applied to BOTH sides at this wrapper level — the
+# queries above stay order-agnostic (no useless global sorts inside library
+# operators), and the gate can never flap on row order.
+
+_ORDER: dict[str, str] = {
+    "cms_topn_event_types": "frequency DESC, item",
+    "cms_topn_doc_tokens": "frequency DESC, item",
+    "cms_topn_frequency_probe": "user_id",
+    "cms_topn_union_partials": "frequency DESC, item",
+    "hll_distinct_parts": "distinct_parts",
+    "hll_users_by_type": "event_type",
+    "kll_price_quantiles": "q25",
+    "tdigest_median_by_type": "event_type",
+    "bloom_customer_semijoin": "matched_customers",
+    "mms_user_masks": "user_id",
+    "grouped_user_freq": "event_type, user_id",
+    "tpch_q1_pricing": "l_returnflag, l_linestatus",
+    "top_nations_revenue": "n_name",
+    "token_stats": "doc_id",
+    "lang_id": "doc_id",
+    "lang_id_ngram": "doc_id",
+    "quality_score": "doc_id",
+    "doc_fingerprints": "doc_id",
+    "exact_dedup": "doc_id",
+    "jaccard_pairs": "a_id, b_id",
+    "minhash_lsh_pairs": "a_id, b_id",
+    "simhash_docs": "doc_id",
+    "ann_brute_topk": "query_id, rank",
+    "ann_lsh_topk": "query_id, rank",
+    "cosine_near_dup_pairs": "a_id, b_id",
+    "winnow_fingerprints": "doc_id, fp",
+}
+
+
+def _order_cols(spec: str) -> list:
+    cols = []
+    for part in spec.split(","):
+        part = part.strip()
+        if part.upper().endswith(" DESC"):
+            cols.append(F.col(part[: -len(" DESC")].strip()).desc())
+        else:
+            cols.append(F.col(part).asc())
+    return cols
+
+
+def _ordered(name: str, fn: Callable) -> Callable:
+    spec = _ORDER.get(name)
+    if spec is None:
+        return fn
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(spark, sf_dir).orderBy(*_order_cols(spec))
+
+    wrapped.__name__ = getattr(fn, "__name__", name)
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+def _ordered_sql(name: str, sql: str) -> str:
+    spec = _ORDER.get(name)
+    if spec is None:
+        return sql
+    return f"SELECT * FROM ({sql}\n) ORDER BY {spec}"
+
+
 # ------------------------------------------------------------------ entry
 
 
@@ -298,6 +379,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _ordered(name, fn) for name, fn in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cms_topn_event_types": q_cms_topn_event_types,
         "cms_topn_doc_tokens": q_cms_topn_doc_tokens,
@@ -329,6 +414,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    return {name: _ordered_sql(name, sql) for name, sql in _raw_oracle_sql().items()}
+
+
+def _raw_oracle_sql() -> dict[str, str]:
     jaccard = dedup.jaccard_pairs_sql("documents", 0.8)
     return {
         "cms_topn_event_types": """
@@ -381,15 +470,15 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity)::BIGINT AS sum_qty,
-                   sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_cents,
-                   sum(round(l_discount * 100)::BIGINT) AS sum_disc_pct,
+                   sum(round(l_extendedprice * 100))::BIGINT AS sum_base_cents,
+                   sum(round(l_discount * 100))::BIGINT AS sum_disc_pct,
                    count(*)::BIGINT AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
         "top_nations_revenue": """
             SELECT n_name,
-                   sum(round(o_totalprice * 100)::BIGINT) AS revenue_cents,
+                   sum(round(o_totalprice * 100))::BIGINT AS revenue_cents,
                    count(*)::BIGINT AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey

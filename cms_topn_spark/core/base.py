@@ -80,12 +80,20 @@ class MergeableSketch(ABC):
 
 
 def sketch_from_bytes(b: bytes) -> MergeableSketch:
-    """Polymorphic deserializer: dispatch on the kind byte."""
-    kind, _, _, _ = MergeableSketch.unpack_header(b)
-    cls = _REGISTRY.get(kind)
-    if cls is None:
-        raise SketchError(f"unknown sketch kind {kind}")
-    return cls.from_bytes(b)
+    """Polymorphic deserializer: dispatch on the kind byte.
+
+    Any malformed frame — truncated payload, short header, impossible field
+    values — surfaces as SketchError, never a raw numpy/struct exception."""
+    try:
+        kind, _, _, _ = MergeableSketch.unpack_header(b)
+        cls = _REGISTRY.get(kind)
+        if cls is None:
+            raise SketchError(f"unknown sketch kind {kind}")
+        return cls.from_bytes(b)
+    except SketchError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError) as e:
+        raise SketchError(f"corrupt serialized sketch: {e}") from e
 
 
 def merge_serialized(a: bytes | None, b: bytes | None) -> bytes | None:

@@ -160,9 +160,13 @@ class CmsTopn(MergeableSketch):
             h1, h2 = hashes
         else:
             h1, h2 = hash128(data, offsets, lengths, MURMUR_SEED)
-        # group duplicate items within the batch by their 128-bit hash
-        key = h1 ^ (h2 * U64(0x9E3779B97F4A7C15))
-        uniq, first_idx, inv = np.unique(key, return_index=True, return_inverse=True)
+        # group duplicate items within the batch by the FULL 128-bit hash —
+        # a folded 64-bit key could collide two distinct items and merge their
+        # counts, breaking the one-sided f̂ ≥ f guarantee
+        pair = np.empty(n_items, dtype=[("h1", "<u8"), ("h2", "<u8")])
+        pair["h1"] = h1
+        pair["h2"] = h2
+        uniq, first_idx, inv = np.unique(pair, return_index=True, return_inverse=True)
         u_counts = np.bincount(inv, weights=counts).astype(np.int64)
         uh1, uh2 = h1[first_idx], h2[first_idx]
         cols = self._cols(uh1, uh2)

@@ -209,14 +209,65 @@ _WORKER_SKETCH_CACHE: dict = {}
 
 def _cached_sketch(b: bytes):
     """Per-worker deserialization cache: probe UDFs receive the same sketch
-    bytes on every batch; parsing a multi-MB state per batch is pure waste."""
-    key = (len(b), hash(b))
-    sk = _WORKER_SKETCH_CACHE.get(key)
+    bytes on every batch; parsing a multi-MB state per batch is pure waste.
+    Keyed by the bytes themselves (dict equality compares content, so a hash
+    collision can never return the wrong sketch)."""
+    sk = _WORKER_SKETCH_CACHE.get(b)
     if sk is None:
         if len(_WORKER_SKETCH_CACHE) > 8:
             _WORKER_SKETCH_CACHE.clear()
-        sk = _WORKER_SKETCH_CACHE[key] = sketch_from_bytes(b)
+        sk = _WORKER_SKETCH_CACHE[b] = sketch_from_bytes(b)
     return sk
+
+
+_TAG_TO_ARROW = {
+    enc.TYPE_INT32: pa.int32(),
+    enc.TYPE_INT64: pa.int64(),
+    enc.TYPE_FLOAT64: pa.float64(),
+    enc.TYPE_STRING: pa.string(),
+    enc.TYPE_BINARY: pa.binary(),
+}
+
+
+def _pack_for_probe(items: pd.Series, sk) -> tuple:
+    """Encode a probe column with the sketch's BOUND item type.
+
+    A nullable integer column reaches pandas as float64 (NaN for nulls); naive
+    packing would tag it TYPE_FLOAT64 and every estimate would silently be 0.
+    Dropping nulls first, then casting the Arrow array to the sketch's bound
+    type, restores build-time encoding; a genuinely incompatible column (e.g.
+    strings probed against an int sketch, or 7.5 against int64) raises instead
+    of hashing garbage. Returns (data, offsets, lengths, notnull_mask)."""
+    from ..operators.build import arrow_type_tag
+
+    mask = items.notna().to_numpy()
+    arr = pa.Array.from_pandas(items)
+    if arr.null_count:
+        arr = arr.drop_null()
+    want = getattr(sk, "item_type", enc.TYPE_UNSET)
+    numeric = (enc.TYPE_INT32, enc.TYPE_INT64, enc.TYPE_FLOAT64)
+    if want != enc.TYPE_UNSET and len(arr) and arrow_type_tag(arr.type) != want:
+        have = arrow_type_tag(arr.type)
+        if not (have in numeric and want in numeric):
+            # int vs string sketch etc. — cross-family probes are type errors,
+            # not silently-zero estimates ("not proper type for this cms_topn")
+            raise TypeError(
+                f"probe column type tag {have} is not compatible with the "
+                f"sketch's bound item type tag {want}"
+            )
+        try:
+            arr = arr.cast(_TAG_TO_ARROW[want])
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+            raise TypeError(
+                f"probe column type {arr.type} has values not representable "
+                f"in the sketch's bound item type tag {want}"
+            ) from e
+    data, offsets, lengths, tag = pack_arrow_array(arr)
+    if want != enc.TYPE_UNSET and len(lengths) and tag != want:
+        raise TypeError(
+            f"probe column encoded as tag {tag}, sketch is bound to {want}"
+        )
+    return data, offsets, lengths, mask
 
 
 def frequency_udf(sketch_bytes: bytes):
@@ -227,14 +278,31 @@ def frequency_udf(sketch_bytes: bytes):
     @pandas_udf(LongType())
     def probe(items: pd.Series) -> pd.Series:
         sk = _cached_sketch(sketch_bytes)
-        arr = pa.Array.from_pandas(items)
-        mask = items.notna().to_numpy()
+        data, offsets, lengths, mask = _pack_for_probe(items, sk)
         out = np.zeros(len(items), dtype=np.int64)
         if mask.any():
-            data, offsets, lengths, _ = pack_arrow_array(arr)
             out[mask] = sk.estimate_packed(data, offsets, lengths)
         res = pd.Series(out, dtype="Int64")
         res[~mask] = pd.NA  # frequency(s, NULL) → NULL
+        return res
+
+    return probe
+
+
+def mask_udf(mms_bytes: bytes):
+    """Vectorized mms_get_mask column probe (§2.1 #8) — the distributed form
+    of probing a min-mask sketch for a whole column of items; mirrors
+    frequency_udf (same worker cache, same typed encoding)."""
+
+    @pandas_udf(LongType())
+    def probe(items: pd.Series) -> pd.Series:
+        sk = _cached_sketch(mms_bytes)
+        data, offsets, lengths, mask = _pack_for_probe(items, sk)
+        out = np.zeros(len(items), dtype=np.int64)
+        if mask.any():
+            out[mask] = sk.get_masks_packed(data, offsets, lengths).astype(np.int64)
+        res = pd.Series(out, dtype="Int64")
+        res[~mask] = pd.NA
         return res
 
     return probe
@@ -282,12 +350,38 @@ def bloom_contains_udf(bloom_bytes: bytes):
     @pandas_udf(BooleanType())
     def probe(items: pd.Series) -> pd.Series:
         bf = _cached_sketch(bloom_bytes)
-        arr = pa.Array.from_pandas(items)
-        mask = items.notna().to_numpy()
+        data, offsets, lengths, mask = _pack_for_probe(items, bf)
         out = np.zeros(len(items), dtype=bool)
         if mask.any():
-            data, offsets, lengths, _ = pack_arrow_array(arr)
             out[mask] = bf.contains_packed(data, offsets, lengths)
         return pd.Series(out)
 
     return probe
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    capacity: int,
+    fpp: float = 1e-6,
+) -> DataFrame:
+    """Semi-join ``probe`` against a Bloom filter of ``build[build_key]``.
+
+    The filter is built as a single pass of per-partition partials OR-merged
+    through sketch_agg (one scan of the build side, no driver-side count), then
+    shipped once per executor inside the probe UDF. Returns the probe rows
+    whose key is (probably) present — false positives at ``fpp``, never false
+    negatives.
+
+    Scale note: the bit array is ~1.2·capacity·ln(1/fpp)/ln²2 bits; at 10⁹
+    build keys and fpp=1e-6 that is ~3.6 GB — at that scale raise fpp (each
+    10× costs ~4.8 bits/key) or pre-partition both sides on the key and build
+    per-partition filters instead of one global one."""
+    bf = sketch_agg(
+        build.select(build_key), lambda: BloomFilter(capacity, fpp), default_ingest
+    )
+    if bf is None:  # empty build side: nothing can match
+        return probe.where(F.lit(False))
+    return probe.where(bloom_contains_udf(bf.to_bytes())(F.col(probe_key)))

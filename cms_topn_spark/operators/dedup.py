@@ -92,9 +92,11 @@ def jaccard_pairs_exact(
     )
     sa = sizes.select(F.col(id_col).alias("a_id"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col(id_col).alias("b_id"), F.col("sz").alias("szb"))
+    # no broadcast hints: `sizes` is per-document (unbounded at corpus scale);
+    # AQE picks broadcast when it actually fits and shuffle-hash otherwise
     return (
-        inter.join(F.broadcast(sa), "a_id")
-        .join(F.broadcast(sb), "b_id")
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
         .where(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")) >= threshold)
         .select("a_id", "b_id")
     )

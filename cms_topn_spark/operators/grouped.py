@@ -90,6 +90,39 @@ def grouped_sketch_states(
     )
 
 
+def grouped_probe(
+    states: DataFrame,
+    group_col: str,
+    items: list,
+    item_col: str = "item",
+    item_type: str = "string",
+    freq_col: str = "frequency",
+) -> DataFrame:
+    """Probe every group's sketch for a fixed item list, distributed.
+
+    Input is the (group, state) frame from :func:`grouped_sketch_states`;
+    output is one row per (group, item) with the estimated frequency. The
+    probe runs inside ``mapInPandas`` over sketch-sized rows — no state ever
+    reaches the driver, so the pattern holds at any group cardinality."""
+    from ..core.base import sketch_from_bytes
+
+    gtype = dict(states.dtypes)[group_col]
+    schema = f"{group_col} {gtype}, {item_col} {item_type}, {freq_col} long"
+
+    def probe(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out_g, out_i, out_f = [], [], []
+            for g, st in zip(pdf[group_col], pdf["state"]):
+                sk = sketch_from_bytes(bytes(st))
+                for it in items:
+                    out_g.append(g)
+                    out_i.append(it)
+                    out_f.append(int(sk.estimate(it)))
+            yield pd.DataFrame({group_col: out_g, item_col: out_i, freq_col: out_f})
+
+    return states.mapInPandas(probe, schema)
+
+
 def grouped_topn(
     df: DataFrame, group_col: str, value_col: str, n: int, e: float = 0.001, p: float = 0.99
 ) -> DataFrame:

@@ -45,6 +45,33 @@ def test_grouped_equals_per_group_filter_build(spark, sf001_dir):
         assert dict(states[et].topn_list()) == dict(direct.topn_list())
 
 
+def test_grouped_probe_matches_exact(spark, sf001_dir):
+    from cms_topn_spark.operators.grouped import grouped_probe
+
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    states = grouped_sketch_states(
+        events, "event_type", "user_id", lambda: CmsTopn(10, 0.0001, 0.99, update="linear")
+    )
+    got = {
+        (r["event_type"], r["user_id"]): r["frequency"]
+        for r in grouped_probe(
+            states, "event_type", list(range(10)), item_col="user_id", item_type="long"
+        ).collect()
+    }
+    exact = {
+        (r["event_type"], r["user_id"]): r["c"]
+        for r in events.where(F.col("user_id") < 10)
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    for k, c in exact.items():
+        assert got[k] == c
+    # probed-but-absent pairs estimate 0 at collision-free width
+    for k, f in got.items():
+        assert f == exact.get(k, 0)
+
+
 def test_grouped_topn_shape(spark, sf001_dir):
     events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
     out = grouped_topn(events, "event_type", "user_id", n=3, e=0.0001).collect()

@@ -158,6 +158,96 @@ class TestCompanionAggs:
             assert mms.get_mask(int(uid)) & m == m
 
 
+class TestProbeTyping:
+    """Probe UDFs must encode with the sketch's BOUND type: a nullable int
+    column reaches pandas as float64 and would otherwise hash as floats,
+    silently returning 0 (and false negatives from Bloom)."""
+
+    def test_frequency_udf_nullable_int_column(self, spark):
+        df = spark.createDataFrame([(7,)] * 100 + [(9,)] * 3, "v long")
+        sk = cms_topn_add_agg(df, "v", n=5, e=0.0001)
+        assert sk.estimate(7) == 100
+        probe = frequency_udf(sk.to_bytes())
+        probe_df = spark.createDataFrame(
+            [(1, 7), (2, 9), (3, None)], "id int, v int"  # int32 + a NULL
+        )
+        got = {r["id"]: r["freq"] for r in probe_df.withColumn("freq", probe(F.col("v"))).collect()}
+        assert got == {1: 100, 2: 3, 3: None}
+
+    def test_bloom_udf_nullable_int_no_false_negatives(self, spark):
+        df = spark.range(0, 50).select(F.col("id").alias("v"))
+        bf = bloom_add_agg(df, "v", capacity=100, fpp=1e-6)
+        probe = bloom_contains_udf(bf.to_bytes())
+        probe_df = spark.createDataFrame(
+            [(i, i if i % 3 else None) for i in range(30)], "id int, v int"
+        )
+        got = {r["id"]: r["hit"] for r in probe_df.withColumn("hit", probe(F.col("v"))).collect()}
+        for i in range(30):
+            if i % 3 == 0:
+                assert got[i] is False  # NULL probes → not contained
+            else:
+                assert got[i] is True  # no false negatives, ever
+
+    def test_incompatible_probe_type_raises(self, spark):
+        df = spark.createDataFrame([("a",), ("b",)], "v string")
+        sk = cms_topn_add_agg(df, "v", n=5)
+        probe = frequency_udf(sk.to_bytes())
+        ints = spark.createDataFrame([(1,), (2,)], "v long")
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException
+
+        with pytest.raises((PythonException, Py4JJavaError)):
+            ints.withColumn("f", probe(F.col("v"))).collect()
+
+    def test_mask_udf_matches_driver_get_mask(self, spark, events):
+        from cms_topn_spark.functions.sketch_api import mask_udf
+
+        df = events.where(F.col("user_id") < 20).select(
+            "user_id",
+            F.when(F.col("event_type") == "click", F.lit(1))
+            .when(F.col("event_type") == "view", F.lit(2))
+            .otherwise(F.lit(4))
+            .alias("mask"),
+        )
+        mms = mms_add_agg(df, "user_id", "mask", e=0.00001)
+        probe = mask_udf(mms.to_bytes())
+        got = (
+            df.select("user_id")
+            .distinct()
+            .withColumn("m", probe(F.col("user_id")))
+            .collect()
+        )
+        assert len(got) > 0
+        for r in got:
+            assert r["m"] == mms.get_mask(int(r["user_id"]))
+
+
+class TestBloomSemiJoin:
+    def test_matches_exact_semijoin(self, spark, sf001_dir):
+        from cms_topn_spark.functions.sketch_api import bloom_semi_join
+        from cms_topn_spark.sources.parquet_meta import parquet_row_count
+
+        opath = os.path.join(sf001_dir, "orders.parquet")
+        orders = spark.read.parquet(opath)
+        customer = spark.read.parquet(os.path.join(sf001_dir, "customer.parquet"))
+        cap = parquet_row_count(opath)
+        assert cap == orders.count()  # footer metadata == full scan, no scan
+        got = bloom_semi_join(customer, "c_custkey", orders, "o_custkey", capacity=cap).count()
+        exact = customer.join(
+            orders.select("o_custkey").distinct(),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_semi",
+        ).count()
+        assert got == exact
+
+    def test_empty_build_side(self, spark, sf001_dir):
+        from cms_topn_spark.functions.sketch_api import bloom_semi_join
+
+        customer = spark.read.parquet(os.path.join(sf001_dir, "customer.parquet"))
+        empty = customer.where(F.lit(False)).select(F.col("c_custkey").alias("k"))
+        assert bloom_semi_join(customer, "c_custkey", empty, "k", capacity=10).count() == 0
+
+
 class TestTreeMerge:
     def test_tree_levels(self, spark, events):
         states = build_partials(
