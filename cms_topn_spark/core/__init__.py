@@ -17,6 +17,8 @@ from .base import (
     SketchError,
     merge_serialized,
     sketch_from_bytes,
+    sketch_from_hex,
+    sketch_to_hex,
 )
 from .bloom import BloomFilter
 from .cms_topn import CmsTopn, sizing
@@ -31,6 +33,8 @@ __all__ = [
     "SketchError",
     "merge_serialized",
     "sketch_from_bytes",
+    "sketch_from_hex",
+    "sketch_to_hex",
     "CmsTopn",
     "MinMaskSketch",
     "HyperLogLog",

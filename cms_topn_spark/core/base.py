@@ -96,6 +96,26 @@ def sketch_from_bytes(b: bytes) -> MergeableSketch:
         raise SketchError(f"corrupt serialized sketch: {e}") from e
 
 
+def sketch_to_hex(sk: MergeableSketch) -> str:
+    """Printable text form of a serialized sketch — the analogue of the
+    reference's ``cms_out``/``mms_out``, which are byteaout passthroughs
+    (cms_mms.c:117-126): PG bytea hex literal ``\\x`` + lowercase hex."""
+    return "\\x" + sk.to_bytes().hex()
+
+
+def sketch_from_hex(s: str) -> MergeableSketch:
+    """Inverse of :func:`sketch_to_hex` (reference ``cms_in``/``mms_in``,
+    byteain passthrough, cms_mms.c:105-113). Malformed literals raise
+    SketchError."""
+    if not s.startswith("\\x"):
+        raise SketchError('malformed bytea hex literal (must start with "\\x")')
+    try:
+        b = bytes.fromhex(s[2:])
+    except ValueError as e:
+        raise SketchError(f"malformed bytea hex literal: {e}") from e
+    return sketch_from_bytes(b)
+
+
 def merge_serialized(a: bytes | None, b: bytes | None) -> bytes | None:
     """NULL-identity merge on serialized states (reference: expected/union.out:4-21)."""
     if a is None:

@@ -23,45 +23,63 @@ unordered micro-batch parallelism (SURVEY.md §2.3 protocol contract).
 from __future__ import annotations
 
 import os
+import struct
 from typing import Callable, Iterator
 
 import pandas as pd
 import pyarrow as pa
 
-from ..core.base import merge_serialized, sketch_from_bytes
+from ..core.base import SketchError, merge_serialized, sketch_from_bytes
 from ..operators.build import build_partials, default_ingest
 
 COMMIT_FILE = "committed_batch_id"
 STATE_FILE = "state.bin"
 
+# Every persisted state is one self-describing frame written with a single
+# atomic rename: | magic "STR1" | version u32 | batch_id i64 | sketch bytes |.
+# The batch id travels INSIDE the same file as the state it reflects, so there
+# is no window in which the state is folded but the commit record isn't (the
+# torn-commit failure mode of a separate marker file). The standalone
+# COMMIT_FILE below is only a whole-batch fast-skip hint; correctness never
+# depends on it.
+_FRAME = struct.Struct("<4sIq")
+_FRAME_MAGIC = b"STR1"
+
+
+def _write_frame(path: str, batch_id: int, state: bytes | None) -> None:
+    tmp = os.path.join(os.path.dirname(path), f".{os.path.basename(path)}.tmp")
+    with open(tmp, "wb") as f:
+        f.write(_FRAME.pack(_FRAME_MAGIC, 1, batch_id))
+        if state:
+            f.write(state)
+    os.replace(tmp, path)  # the commit point: one atomic rename
+
+
+def _read_frame(path: str) -> tuple[int, bytes | None]:
+    """(batch_id, state bytes) — (-1, None) if the file doesn't exist."""
+    if not os.path.exists(path):
+        return -1, None
+    with open(path, "rb") as f:
+        raw = f.read()
+    if len(raw) < _FRAME.size:
+        raise SketchError("corrupt stream state frame (short header)")
+    magic, _version, batch_id = _FRAME.unpack_from(raw, 0)
+    if magic != _FRAME_MAGIC:
+        raise SketchError("corrupt stream state frame (bad magic)")
+    payload = raw[_FRAME.size :]
+    return batch_id, payload if payload else None
+
 
 def _read_committed(state_dir: str) -> int:
-    p = os.path.join(state_dir, COMMIT_FILE)
-    if not os.path.exists(p):
-        return -1
-    with open(p) as f:
-        return int(f.read().strip())
+    """Highest batch id folded into the global state (from the state frame)."""
+    batch_id, _ = _read_frame(os.path.join(state_dir, STATE_FILE))
+    return batch_id
 
 
 def read_stream_state(state_dir: str):
     """Deserialize the current global sketch (None before the first batch)."""
-    p = os.path.join(state_dir, STATE_FILE)
-    if not os.path.exists(p):
-        return None
-    with open(p, "rb") as f:
-        return sketch_from_bytes(f.read())
-
-
-def _commit_state(state_dir: str, batch_id: int, state: bytes) -> None:
-    # write-then-rename so readers never see a torn state
-    tmp = os.path.join(state_dir, f".{STATE_FILE}.tmp")
-    with open(tmp, "wb") as f:
-        f.write(state)
-    os.replace(tmp, os.path.join(state_dir, STATE_FILE))
-    tmp = os.path.join(state_dir, f".{COMMIT_FILE}.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(batch_id))
-    os.replace(tmp, os.path.join(state_dir, COMMIT_FILE))
+    _, payload = _read_frame(os.path.join(state_dir, STATE_FILE))
+    return sketch_from_bytes(payload) if payload is not None else None
 
 
 def sketch_stream_agg(
@@ -76,21 +94,18 @@ def sketch_stream_agg(
     os.makedirs(state_dir, exist_ok=True)
 
     def process_batch(batch_df, batch_id: int) -> None:
-        if batch_id <= _read_committed(state_dir):
+        p = os.path.join(state_dir, STATE_FILE)
+        committed, prev = _read_frame(p)
+        if batch_id <= committed:
             return  # replayed batch after restart — already folded
         states = build_partials(batch_df, factory, ingest)
         acc = None
         for r in states.collect():
             if r["state"] is not None:
                 acc = merge_serialized(acc, bytes(r["state"]))
-        prev = None
-        p = os.path.join(state_dir, STATE_FILE)
-        if os.path.exists(p):
-            with open(p, "rb") as f:
-                prev = f.read()
         merged = merge_serialized(prev, acc)  # NULL-identity handles empty batches
-        if merged is not None:
-            _commit_state(state_dir, batch_id, merged)
+        # state + batch id land in ONE rename — fold and commit are atomic
+        _write_frame(p, batch_id, merged)
 
     writer = stream_df.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -114,15 +129,26 @@ def windowed_sketch_stream(
 
     Late rows (within the watermark) fold into their window's existing state
     — merges are commutative, so late data needs no reprocessing. State files
-    are ``state_dir/w=<window_start_unix>.bin``; the same batch-id high-water
-    mark makes replays idempotent. Read any window any time with
-    :func:`read_window_states`."""
+    are ``state_dir/w=<window_start_unix>.bin``, each a frame carrying the
+    batch id that last folded into it: on a replay after a crash that folded
+    only SOME windows of a batch, the already-at-this-batch windows are
+    skipped per-file, so no window ever double-counts (exactly-once without a
+    cross-file transaction). The separate COMMIT_FILE is only a fast-skip for
+    fully-committed batches. Read any window with :func:`read_window_states`."""
     import pyspark.sql.functions as F
 
     os.makedirs(state_dir, exist_ok=True)
+    value_type = dict(stream_df.dtypes)[value_col]
+
+    def _committed_marker() -> int:
+        p = os.path.join(state_dir, COMMIT_FILE)
+        if not os.path.exists(p):
+            return -1
+        with open(p) as f:
+            return int(f.read().strip())
 
     def process_batch(batch_df, batch_id: int) -> None:
-        if batch_id <= _read_committed(state_dir):
+        if batch_id <= _committed_marker():
             return
         win = batch_df.withColumn(
             "_w", F.window(F.col(ts_col), window).start.cast("long")
@@ -130,20 +156,12 @@ def windowed_sketch_stream(
         states = (
             win.repartition("_w")
             .groupBy("_w")
-            .applyInPandas(_window_partial(factory, value_col), "_w long, state binary")
+            .applyInPandas(
+                _window_partial(factory, value_col, value_type), "_w long, state binary"
+            )
             .collect()
         )
-        for r in states:
-            path = os.path.join(state_dir, f"w={r['_w']}.bin")
-            prev = None
-            if os.path.exists(path):
-                with open(path, "rb") as f:
-                    prev = f.read()
-            merged = merge_serialized(prev, bytes(r["state"]))
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(merged)
-            os.replace(tmp, path)
+        _fold_windows(state_dir, batch_id, [(r["_w"], bytes(r["state"])) for r in states])
         tmp = os.path.join(state_dir, f".{COMMIT_FILE}.tmp")
         with open(tmp, "w") as f:
             f.write(str(batch_id))
@@ -158,12 +176,51 @@ def windowed_sketch_stream(
     )
 
 
-def _window_partial(factory, value_col: str):
+def _fold_windows(state_dir: str, batch_id: int, states: list[tuple[int, bytes]]) -> None:
+    """Fold per-window batch deltas into their persisted frames, idempotently:
+    a window whose frame already carries this batch id is skipped, so a crash
+    replay that re-delivers the batch can never double-count any window."""
+    for w, delta in states:
+        path = os.path.join(state_dir, f"w={w}.bin")
+        folded_at, prev = _read_frame(path)
+        if folded_at >= batch_id:
+            continue  # this window already folded this batch (crash replay)
+        _write_frame(path, batch_id, merge_serialized(prev, delta))
+
+
+_SPARK_TO_ARROW = {
+    "tinyint": pa.int32(),
+    "smallint": pa.int32(),
+    "int": pa.int32(),
+    "bigint": pa.int64(),
+    "float": pa.float64(),
+    "double": pa.float64(),
+    "string": pa.string(),
+    "binary": pa.binary(),
+}
+
+
+def _typed_arrow(vals: pd.Series, spark_dtype: str) -> pa.Array:
+    """pandas → Arrow preserving the column's DECLARED Spark type.
+
+    pandas delivers nullable int columns as float64; re-casting to the
+    declared type keeps streaming-built sketches hash-compatible with
+    batch-built sketches over the same data (a string-ified or float-ified
+    item encodes — and therefore hashes — differently)."""
+    arr = pa.Array.from_pandas(vals)
+    target = _SPARK_TO_ARROW.get(spark_dtype)
+    if target is not None and arr.type != target:
+        arr = arr.cast(target)
+    return arr
+
+
+def _window_partial(factory, value_col: str, value_type: str):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = factory()
         vals = pdf[value_col].dropna()
         if len(vals):
-            sk.add_batch(vals.astype(str).tolist())
+            arr = _typed_arrow(vals, value_type)
+            default_ingest(sk, pa.RecordBatch.from_arrays([arr], ["v"]))
         return pd.DataFrame({"_w": [pdf["_w"].iloc[0]], "state": [sk.to_bytes()]})
 
     return run
@@ -174,8 +231,9 @@ def read_window_states(state_dir: str) -> dict[int, object]:
     out = {}
     for f in os.listdir(state_dir):
         if f.startswith("w=") and f.endswith(".bin"):
-            with open(os.path.join(state_dir, f), "rb") as fh:
-                out[int(f[2:-4])] = sketch_from_bytes(fh.read())
+            _, payload = _read_frame(os.path.join(state_dir, f))
+            if payload is not None:
+                out[int(f[2:-4])] = sketch_from_bytes(payload)
     return out
 
 
@@ -190,11 +248,15 @@ def keyed_sketch_stream(
     """Per-key CMS top-n as a custom stateful streaming operator.
 
     Output per update: (key, total, top_item, top_freq). State: the serialized
-    CmsTopn. Uses applyInPandasWithState (update mode, no timeout)."""
+    CmsTopn, built with the value column's NATIVE type — so it merges and
+    probes hash-compatibly with batch-built sketches over the same column
+    (top_item is rendered as string for the fixed output schema only). Uses
+    applyInPandasWithState (update mode, no timeout)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..core.cms_topn import CmsTopn
-    from ..core import encoding as enc
+
+    value_type = dict(stream_df.dtypes)[value_col]
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
@@ -202,16 +264,17 @@ def keyed_sketch_stream(
         else:
             sk = CmsTopn(n, eps, conf, update="linear")
         for pdf in pdfs:
-            vals = pdf[value_col].dropna().astype(str).tolist()
-            if vals:
-                sk.add_batch(vals, type_tag=enc.TYPE_STRING)
+            vals = pdf[value_col].dropna()
+            if len(vals):
+                arr = _typed_arrow(vals, value_type)
+                default_ingest(sk, pa.RecordBatch.from_arrays([arr], ["v"]))
         state.update((sk.to_bytes(),))
         top = sk.topn_list()
         yield pd.DataFrame(
             {
                 "key": [key[0]],
                 "total": [sk.total],
-                "top_item": [top[0][0] if top else None],
+                "top_item": [str(top[0][0]) if top else None],
                 "top_freq": [top[0][1] if top else None],
             }
         )

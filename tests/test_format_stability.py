@@ -57,3 +57,22 @@ def test_mms_v1():
     sk = sketch_from_bytes(b)
     assert sk.get_mask("u") == 0b101
     assert sk.to_bytes() == b
+
+
+def test_hex_text_form():
+    """cms_in/cms_out analogue: PG bytea hex literal round-trip (cms_mms.c:105-126)."""
+    import pytest
+
+    from cms_topn_spark.core import SketchError, sketch_from_hex, sketch_to_hex
+
+    b = _load("cms_topn")
+    sk = sketch_from_bytes(b)
+    s = sketch_to_hex(sk)
+    assert s.startswith("\\x") and s == "\\x" + b.hex()
+    back = sketch_from_hex(s)
+    assert back.to_bytes() == b
+    assert back.topn_list() == sk.topn_list()
+    with pytest.raises(SketchError):
+        sketch_from_hex("deadbeef")  # missing \x prefix
+    with pytest.raises(SketchError):
+        sketch_from_hex("\\xZZ")  # not hex

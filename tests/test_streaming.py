@@ -122,6 +122,51 @@ class TestKeyedStream:
             assert got[k][1] == freq
 
 
+class TestCommitAtomicity:
+    """The batch id travels inside the state frame (one atomic rename), so a
+    crash between 'state folded' and 'commit recorded' cannot exist; windowed
+    states carry per-file batch ids so partial-crash replays skip per window."""
+
+    def test_frame_roundtrip_and_corruption(self, tmp_path):
+        from cms_topn_spark.core import SketchError
+        from cms_topn_spark.streaming.stream_agg import _read_frame, _write_frame
+
+        p = str(tmp_path / "state.bin")
+        sk = CmsTopn(3, update="linear")
+        sk.add_batch(["a", "b", "a"])
+        _write_frame(p, 7, sk.to_bytes())
+        bid, payload = _read_frame(p)
+        assert bid == 7 and payload == sk.to_bytes()
+        assert _read_frame(str(tmp_path / "missing.bin")) == (-1, None)
+        with open(p, "wb") as f:
+            f.write(b"XX")  # torn write shorter than the header
+        with pytest.raises(SketchError):
+            _read_frame(p)
+
+    def test_windowed_replay_skips_folded_windows(self, tmp_path):
+        from cms_topn_spark.streaming.stream_agg import (
+            _fold_windows,
+            read_window_states,
+        )
+
+        sdir = str(tmp_path)
+        delta_a = CmsTopn(3, update="linear")
+        delta_a.add_batch(["x"] * 5)
+        delta_b = CmsTopn(3, update="linear")
+        delta_b.add_batch(["y"] * 2)
+        states = [(100, delta_a.to_bytes()), (200, delta_b.to_bytes())]
+        # crash scenario: batch 1 folded window 100 but died before window 200
+        _fold_windows(sdir, 1, states[:1])
+        # replay of batch 1 re-delivers BOTH windows
+        _fold_windows(sdir, 1, states)
+        got = read_window_states(sdir)
+        assert got[100].estimate("x") == 5  # not 10 — no double count
+        assert got[200].estimate("y") == 2
+        # a genuinely new batch folds normally
+        _fold_windows(sdir, 2, states[:1])
+        assert read_window_states(sdir)[100].estimate("x") == 10
+
+
 class TestWindowedStream:
     def test_windowed_states_match_batch_windows(self, spark, tmp_path, sf001_dir):
         from cms_topn_spark.streaming.stream_agg import (
@@ -153,3 +198,39 @@ class TestWindowedStream:
         assert set(states) == set(exact)
         for w, sk in states.items():
             assert sk.total == exact[w]
+
+    def test_windowed_int_column_binds_native_type(self, spark, tmp_path, sf001_dir):
+        """Streaming-built sketches over int columns must hash-compatibly
+        match batch-built sketches (no astype(str) coercion)."""
+        import numpy as np
+
+        from cms_topn_spark.streaming.stream_agg import (
+            read_window_states,
+            windowed_sketch_stream,
+        )
+
+        src = str(tmp_path / "evi")
+        events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+        events.select("ts", "user_id").write.parquet(src)
+        stream = spark.readStream.schema("ts timestamp, user_id long").parquet(src)
+        windowed_sketch_stream(
+            stream,
+            "ts",
+            "user_id",
+            str(tmp_path / "wstate"),
+            str(tmp_path / "wckpt"),
+            lambda: CmsTopn(5, 0.0001, 0.99, update="linear"),
+            window="30 days",  # sf0.001 events span < 30 days → single window
+        ).awaitTermination(120)
+        states = read_window_states(str(tmp_path / "wstate"))
+        assert len(states) >= 1
+        merged = None
+        for sk in states.values():
+            merged = sk if merged is None else merged.merge(sk)
+        batch = cms_topn_add_agg(events, "user_id", n=5, e=0.0001)
+        # native int binding ⇒ identical counters, mergeable with batch states
+        assert merged.item_type == batch.item_type
+        assert np.array_equal(merged.counters, batch.counters)
+        assert merged.estimate(int(events.first()["user_id"])) == batch.estimate(
+            int(events.first()["user_id"])
+        )
