@@ -9,10 +9,14 @@ sparse-exact HLL, uncompacted KLL/t-digest) so the comparison is equality,
 per SURVEY.md §5.2(3).
 
 Queries intentionally without an oracle (driver records rows-only):
-  - simhash_docs, ann_lsh_topk, winnow_fingerprints: hash-function outputs no
-    SQL engine can reproduce (their exactness baselines — jaccard_pairs_*,
-    ann_brute_topk, cosine_near_dup_pairs, doc_fingerprints — are
-    oracle-checked instead).
+  - simhash_docs / simhash_near_pairs: SimHash geometry has no SQL-expressible
+    equivalent and measurably does NOT coincide with any Jaccard threshold on
+    this corpus (see q_simhash_near_pairs); their exactness baselines
+    (jaccard_pairs, minhash_lsh_pairs, doc_fingerprints) are oracle-checked,
+    and planted-duplicate coverage is asserted in pytest.
+  Everything else is oracle-checked, including winnow_fingerprints (the whole
+  rolling-hash scheme recomputed in DuckDB SQL) and ann_lsh_topk (multi-probe
+  parameters put recall at 1.0 on this data, so brute force is its oracle).
 """
 
 from __future__ import annotations
@@ -268,12 +272,36 @@ def q_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_pairs_exact(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+JACCARD_MAX_DF = 20  # sf0.01 has 500 docs; boilerplate shingles hit hundreds
+
+
+def q_jaccard_pairs_pruned(spark, sf_dir):
+    """DF-pruned Jaccard (the 100-TB shape): ubiquitous shingles dropped
+    before the self-join; similarity measured over the pruned shingle space —
+    its own semantics, checked by its own oracle."""
+    return dedup.jaccard_pairs_pruned(
+        _t(spark, sf_dir, "documents"), threshold=0.8, max_df=JACCARD_MAX_DF
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
 def q_simhash_docs(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """Pigeonhole-banded Hamming-≤3 pairs over 64-bit SimHash signatures.
+
+    Rows-only by necessity, not convenience: Hamming distance does NOT track
+    n-gram Jaccard monotonically on short documents (measured on this corpus:
+    a pair at Jaccard 0.992 sits at Hamming 41 — few shingles ⇒ ±1-vote bits
+    flip freely), so no SQL-expressible pair set equals this output. The
+    exactness baselines (jaccard_pairs, minhash_lsh_pairs) are oracle-checked;
+    planted-duplicate coverage is asserted in tests/test_pipeline_operators."""
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 ANN_QUERY_IDS = list(range(20))
@@ -284,7 +312,14 @@ def q_ann_brute_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
+    """Multi-probe hyperplane LSH (probe Hamming ≤ 3): recall measured 1.0 at
+    sf0.01 and sf0.1 even on these uniform-random embeddings (the adversarial
+    case for LSH), so the output equals brute force and shares its oracle —
+    the same recall-1-by-parameters argument as minhash_lsh_pairs. Lower
+    probe budgets trade recall for candidate volume (lsh_topk docstring)."""
+    return similarity.lsh_topk(
+        _t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5, probe_hamming=3
+    )
 
 
 COSINE_DUP_THRESHOLD = 0.4
@@ -329,8 +364,10 @@ _ORDER: dict[str, str] = {
     "doc_fingerprints": "doc_id",
     "exact_dedup": "doc_id",
     "jaccard_pairs": "a_id, b_id",
+    "jaccard_pairs_pruned": "a_id, b_id",
     "minhash_lsh_pairs": "a_id, b_id",
     "simhash_docs": "doc_id",
+    "simhash_near_pairs": "a_id, b_id",
     "ann_brute_topk": "query_id, rank",
     "ann_lsh_topk": "query_id, rank",
     "cosine_near_dup_pairs": "a_id, b_id",
@@ -404,8 +441,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_docs": q_simhash_docs,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
@@ -491,8 +530,16 @@ def _raw_oracle_sql() -> dict[str, str]:
         "doc_fingerprints": textops.fingerprints_sql(),
         "exact_dedup": dedup.exact_dedup_sql(),
         "jaccard_pairs": jaccard,
+        "jaccard_pairs_pruned": dedup.jaccard_pairs_pruned_sql(
+            "documents", 0.8, JACCARD_MAX_DF
+        ),
         "minhash_lsh_pairs": jaccard,
         "ann_brute_topk": similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=5),
+        # multi-probe h=3 ⇒ recall 1.0 (measured both SFs) ⇒ equals brute force
+        "ann_lsh_topk": similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=5),
         "cosine_near_dup_pairs": similarity.cosine_near_dup_pairs_sql(COSINE_DUP_THRESHOLD),
-        # winnow_fingerprints intentionally rows-only (hash output)
+        # full winnowing scheme recomputed in SQL (splitmix64 via HUGEINT
+        # modular multiplies) — bit-exact vs the Spark operator
+        "winnow_fingerprints": dedup.winnow_fingerprints_sql(),
+        # simhash_docs / simhash_near_pairs: rows-only (see q_simhash_near_pairs)
     }

@@ -70,18 +70,13 @@ def _shingle_sql(k: int = SHINGLE_K) -> str:
     )
 
 
-def jaccard_pairs_exact(
-    df: DataFrame, threshold: float = 0.8, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+def _jaccard_from_shingles(sh: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """(doc, shingle) rows → near-dup pairs at Jaccard ≥ threshold.
 
-    Scale note: the self-join key is the shingle; at 100 TB you first drop
-    shingles with document frequency above a cutoff (they only ever connect
-    already-connected dup groups) — omitted here because the correctness
-    oracle must see identical semantics."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingle_expr(text_col)).alias("g")
-    )
+    Inverted-index self-join on the shingle, per-pair intersection counts vs
+    set sizes. No broadcast hints: the `sizes` side is per-document (unbounded
+    at corpus scale); AQE picks broadcast when it actually fits and
+    shuffle-hash otherwise."""
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -92,14 +87,83 @@ def jaccard_pairs_exact(
     )
     sa = sizes.select(F.col(id_col).alias("a_id"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col(id_col).alias("b_id"), F.col("sz").alias("szb"))
-    # no broadcast hints: `sizes` is per-document (unbounded at corpus scale);
-    # AQE picks broadcast when it actually fits and shuffle-hash otherwise
     return (
         inter.join(sa, "a_id")
         .join(sb, "b_id")
         .where(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")) >= threshold)
         .select("a_id", "b_id")
     )
+
+
+def jaccard_pairs_exact(
+    df: DataFrame, threshold: float = 0.8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    Scale note: the self-join fan-out is Σ df(g)² over shingle document
+    frequencies — fine while no shingle is ubiquitous, quadratic where one is.
+    At 100 TB use :func:`jaccard_pairs_pruned`, which bounds df(g) first."""
+    sh = df.select(F.col(id_col), F.explode(shingle_expr(text_col)).alias("g"))
+    return _jaccard_from_shingles(sh, threshold, id_col)
+
+
+def jaccard_pairs_pruned(
+    df: DataFrame,
+    threshold: float = 0.8,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-frequency-pruned n-gram Jaccard — the 100-TB shape.
+
+    Shingles appearing in more than ``max_df`` documents (boilerplate,
+    whitespace runs) are dropped BEFORE the inverted-index self-join:
+    they contribute O(df²) join pairs each while carrying no discriminative
+    signal, so pruning bounds the worst-case join fan-out to
+    O(#shingles · max_df) — the difference between a web-scale run finishing
+    and one key exploding a stage. Jaccard is then measured over the pruned
+    shingle space (both intersection and union exclude pruned shingles), a
+    deterministic, well-defined similarity of its own — this operator has its
+    own oracle rather than approximating :func:`jaccard_pairs_exact`.
+
+    The df computation is one extra groupBy on the same uniformly-distributed
+    key the join shuffles on; documents left with zero surviving shingles drop
+    out of the pair search entirely (they can only pair at similarity 0)."""
+    sh = df.select(F.col(id_col), F.explode(shingle_expr(text_col)).alias("g"))
+    # shingle_expr emits DISTINCT shingles per doc ⇒ count(*) per g == df(g)
+    rare = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("g")
+    )
+    kept = sh.join(rare, "g")
+    return _jaccard_from_shingles(kept, threshold, id_col)
+
+
+def jaccard_pairs_pruned_sql(
+    table: str = "documents", threshold: float = 0.8, max_df: int = 100
+) -> str:
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_shingle_sql()}) AS g FROM {table}
+    ),
+    rare AS (
+      SELECT g FROM sh GROUP BY g HAVING count(*) <= {max_df}
+    ),
+    kept AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {threshold}
+    """
 
 
 def jaccard_pairs_sql(table: str = "documents", threshold: float = 0.8) -> str:
@@ -315,6 +379,65 @@ def winnow_fingerprints(
             )
 
     return df.select(id_col, text_col).mapInArrow(fn, "doc_id long, fp long")
+
+
+_U64_MOD = "18446744073709551616"  # 2^64
+
+
+def _mul64_sql(a_expr: str, b_const: int) -> str:
+    """(a * b) mod 2^64 in DuckDB: HUGEINT split-multiply (each partial
+    product < 2^96 fits int128, so no overflow error)."""
+    b_lo = b_const & 0xFFFFFFFF
+    b_hi = b_const >> 32
+    return (
+        f"((({a_expr}) * {b_lo} + ((({a_expr}) * {b_hi}) % 4294967296)"
+        f" * 4294967296) % {_U64_MOD})"
+    )
+
+
+def _splitmix64_sql(x_expr: str) -> str:
+    """Bit-exact DuckDB rendering of the library's splitmix64 kernel
+    (sources/webpages.py:_splitmix64): adds/multiplies in HUGEINT mod 2^64,
+    xor/shift in UBIGINT. Validated against the numpy kernel in tests."""
+    z0 = f"((({x_expr})::HUGEINT + 11400714819323198485) % {_U64_MOD})::UBIGINT"
+    x1 = f"xor({z0}, ({z0}) >> 30)::HUGEINT"
+    z1 = f"({_mul64_sql(x1, 0xBF58476D1CE4E5B9)})::UBIGINT"
+    x2 = f"xor({z1}, ({z1}) >> 27)::HUGEINT"
+    z2 = f"({_mul64_sql(x2, 0x94D049BB133111EB)})::UBIGINT"
+    return f"xor({z2}, ({z2}) >> 31)"
+
+
+def winnow_fingerprints_sql(table: str = "documents", window: int = 4, k: int = SHINGLE_K) -> str:
+    """ANSI-SQL (DuckDB) oracle for :func:`winnow_fingerprints`.
+
+    Recomputes the whole scheme in SQL: the k-byte window packed as a
+    little-endian uint64 (valid for ASCII corpora with docs ≥ k chars — true
+    of the test tables), splitmix64 via HUGEINT modular multiplies, the
+    min-per-sliding-window selection as a windowed MIN, and the final
+    DISTINCT per doc. Output matches the operator bit-for-bit, two's
+    complement re-signed to BIGINT."""
+    word = " + ".join(f"ord(text[i+{j}])::UBIGINT * {1 << (8 * j)}" for j in range(k))
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, unnest(range(1, greatest(len(text) - {k - 2}, 2))) AS i, text
+      FROM {table}
+    ),
+    hashes AS (
+      SELECT doc_id, i, {_splitmix64_sql(f"({word})")} AS h FROM pos
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(h) OVER w AS m,
+             count(*) OVER w AS n_in_win
+      FROM hashes
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+    )
+    SELECT DISTINCT doc_id,
+           (m::HUGEINT - CASE WHEN m >= 9223372036854775808
+                              THEN {_U64_MOD}::HUGEINT ELSE 0 END)::BIGINT AS fp
+    FROM wins WHERE n_in_win = {window}
+    """
 
 
 # ---------------------------------------------------------------- simhash

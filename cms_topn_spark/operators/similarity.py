@@ -189,18 +189,14 @@ def _planes(dim: int) -> np.ndarray:
     return g.reshape(N_TABLES, N_PLANES, dim)
 
 
-def lsh_topk(
-    df: DataFrame,
-    query_ids: list[int],
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def lsh_signatures(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """ANN top-k: random-hyperplane LSH buckets, exact re-rank inside buckets.
+    """(vec_id, tbl, bucket): hyperplane-LSH bucket keys, one row per table.
 
-    Approximate — recall depends on N_TABLES/N_PLANES; the exactness baseline
-    is brute_force_topk (same output schema, used as its oracle proxy)."""
-    spark = df.sparkSession
+    Deterministic splitmix-seeded planes — no RNG state to ship; the bucket
+    column is the join key for both ANN (query vs corpus) and near-dup
+    (corpus self-join) candidate generation."""
 
     def sig_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         planes = None
@@ -223,10 +219,91 @@ def lsh_topk(
                 }
             )
 
-    sigs = df.select(id_col, vec_col).mapInArrow(sig_fn, "vec_id long, tbl int, bucket long")
+    return df.select(id_col, vec_col).mapInArrow(sig_fn, "vec_id long, tbl int, bucket long")
+
+
+def _cosine_expr() -> F.Column:
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+    return dot / (norm(F.col("qv")) * norm(F.col("nv")))
+
+
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed cosine near-duplicate pairs — the 100-TB shape.
+
+    Candidates come from a hyperplane-LSH bucket SELF-join (cost
+    O(Σ bucket²) per table, never O(n²) and never a corpus broadcast), then
+    exact cosine verification. Complements :func:`cosine_near_dup_pairs`
+    (the broadcast exactness baseline): false positives are impossible (every
+    emitted pair is verified); recall at similarity s is
+    1 − (1 − p^B)^T with p = 1 − arccos(s)/π, B = N_PLANES, T = N_TABLES —
+    ≥ 99.5 % at s = 0.9 with the default 16 × 8 configuration, and tunable by
+    the table/plane constants."""
+    sigs = lsh_signatures(df, id_col, vec_col).persist()
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    emb_a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("qv"))
+    emb_b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("nv"))
+    return (
+        cand.join(emb_a, "a_id")
+        .join(emb_b, "b_id")
+        .where(_cosine_expr() >= threshold)
+        .select("a_id", "b_id")
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 0,
+) -> DataFrame:
+    """ANN top-k: random-hyperplane LSH buckets, exact re-rank inside buckets.
+
+    ``probe_hamming`` enables multi-probe (Lv et al., VLDB 2007): each query
+    additionally probes every bucket within Hamming distance h of its own
+    bucket key, trading candidate-set size for recall without growing the
+    index. Per-table candidate probability at cosine s rises from p^B to
+    Σ_{i≤h} C(B,i)·p^(B-i)·(1-p)^i with p = 1 − arccos(s)/π. h=0 is the
+    classic one-bucket probe; h=3 with the default 16×8 config reaches
+    recall ≈ 1 even on uniform-random corpora (where near-neighbors sit
+    barely above the bulk — the adversarial case). The exactness baseline is
+    brute_force_topk (same output schema)."""
+    sigs = lsh_signatures(df, id_col, vec_col)
     qsigs = sigs.where(F.col("vec_id").isin([int(q) for q in query_ids])).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
+    if probe_hamming > 0:
+        masks = [m for m in range(1 << N_PLANES) if bin(m).count("1") <= probe_hamming]
+        qsigs = qsigs.select(
+            "query_id",
+            "tbl",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        )
     cand = (
         F.broadcast(qsigs)
         .join(sigs, ["tbl", "bucket"])
@@ -236,18 +313,10 @@ def lsh_topk(
     )
     emb_q = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     emb_n = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
-    dot = F.aggregate(
-        F.zip_with("qv", "nv", lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
-    )
     scored = (
         cand.join(F.broadcast(emb_q), "query_id")
         .join(emb_n, "neighbor_id")
-        .withColumn("sim", dot / (norm(F.col("qv")) * norm(F.col("nv"))))
+        .withColumn("sim", _cosine_expr())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

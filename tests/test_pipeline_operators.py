@@ -79,6 +79,78 @@ class TestDedup:
         n2 = compare(dedup.minhash_lsh_pairs(docs, 0.8), con, dedup.jaccard_pairs_sql())
         assert n == n2  # LSH recall = 1 at this threshold/band config
 
+    def test_jaccard_pruned_matches_oracle(self, docs, con):
+        from cms_topn_spark.operators import dedup
+
+        compare(
+            dedup.jaccard_pairs_pruned(docs, 0.8, max_df=20),
+            con,
+            dedup.jaccard_pairs_pruned_sql("documents", 0.8, 20),
+        )
+
+    def test_jaccard_pruning_changes_semantics_deterministically(self, spark, con):
+        """Planted corpus where a ubiquitous shingle flips pairs across the
+        threshold: pruned != exact, and pruned == its own SQL oracle."""
+        import duckdb
+
+        from cms_topn_spark.operators import dedup
+
+        # non-periodic boilerplate: every 8-gram inside it is distinct and
+        # appears in all 4 docs (df = 4) — the ubiquitous-shingle source
+        boiler = (
+            "this website uses cookies to improve your experience and by "
+            "continuing to browse you accept our privacy policy and terms"
+        )
+        rows = [
+            (1, boiler + " alpha beta gamma delta epsilon zeta"),
+            (2, boiler + " alpha beta gamma delta epsilon eta!"),
+            (3, boiler + " totally different content here 12345"),
+            (4, boiler + " another unrelated document body 9876"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        exact = {(r["a_id"], r["b_id"]) for r in dedup.jaccard_pairs_exact(df, 0.5).collect()}
+        pruned = {
+            (r["a_id"], r["b_id"]) for r in dedup.jaccard_pairs_pruned(df, 0.5, max_df=3).collect()
+        }
+        # boilerplate inflates exact similarity: unrelated docs pair at 0.5
+        assert exact > pruned, (exact, pruned)
+        assert pruned == {(1, 2)}  # only the genuinely-near pair survives
+        c = duckdb.connect()
+        c.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        c.executemany("INSERT INTO d VALUES (?, ?)", rows)
+        oracle = {tuple(r) for r in c.execute(dedup.jaccard_pairs_pruned_sql("d", 0.5, 3)).fetchall()}
+        assert pruned == oracle
+
+    def test_winnow_matches_sql_oracle(self, docs, con):
+        from cms_topn_spark.operators import dedup
+
+        compare(dedup.winnow_fingerprints(docs), con, dedup.winnow_fingerprints_sql())
+
+    def test_splitmix64_sql_bit_parity(self):
+        import duckdb
+        import numpy as np
+
+        from cms_topn_spark.operators.dedup import _splitmix64_sql
+        from cms_topn_spark.sources.webpages import _splitmix64
+
+        rng = np.random.default_rng(7)
+        vals = np.concatenate(
+            [
+                rng.integers(0, 2**63, 200, dtype=np.uint64) * 2
+                + rng.integers(0, 2, 200, dtype=np.uint64),
+                np.array([0, 1, 2**32, 2**63, 2**64 - 1], dtype=np.uint64),
+            ]
+        )
+        expect = _splitmix64(vals.view(np.int64))
+        c = duckdb.connect()
+        c.execute("CREATE TABLE t (x UBIGINT)")
+        c.executemany("INSERT INTO t VALUES (?)", [(int(v),) for v in vals])
+        got = np.array(
+            [r[0] for r in c.execute(f"SELECT {_splitmix64_sql('x')} FROM t").fetchall()],
+            dtype=np.uint64,
+        )
+        assert np.array_equal(got, expect)
+
     def test_simhash_near_pairs_cover_planted_dups(self, docs, spark):
         from cms_topn_spark.operators import dedup
 
@@ -132,6 +204,45 @@ class TestSimilarity:
         # The exactness baseline (oracle-checked) is brute_force_topk.
         assert len(approx) == len(exact)
         assert len(exact & approx) / len(exact) >= 0.15
+
+    def test_multiprobe_lsh_equals_brute_force(self, spark, sf001_dir):
+        """probe_hamming=3 multi-probe: recall 1.0 even on uniform-random
+        embeddings — the driver query's oracle-sharing argument."""
+        from cms_topn_spark.operators import similarity
+
+        emb = spark.read.parquet(os.path.join(sf001_dir, "embeddings.parquet"))
+        qids = list(range(10))
+        exact = sorted(tuple(r) for r in similarity.brute_force_topk(emb, qids, k=5).collect())
+        approx = sorted(
+            tuple(r)
+            for r in similarity.lsh_topk(emb, qids, k=5, probe_hamming=3).collect()
+        )
+        assert approx == exact
+
+    def test_cosine_lsh_near_dup_pairs_planted(self, spark, sf001_dir):
+        """Bucketed near-dup pairs: planted exact duplicates (cosine 1.0 ⇒
+        identical signatures ⇒ deterministically co-bucketed) are all found,
+        no false positives vs the broadcast-exact baseline."""
+        from pyspark.sql import functions as F
+
+        from cms_topn_spark.operators import similarity
+
+        emb = spark.read.parquet(os.path.join(sf001_dir, "embeddings.parquet"))
+        dups = emb.where(F.col("vec_id") < 10).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1_000_000)
+        )
+        planted = emb.unionByName(dups)
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in similarity.cosine_near_dup_pairs_lsh(planted, 0.95).collect()
+        }
+        exact = {
+            (r["a_id"], r["b_id"])
+            for r in similarity.cosine_near_dup_pairs(planted, 0.95).collect()
+        }
+        assert {(i, i + 1_000_000) for i in range(10)} <= got
+        assert got <= exact  # verification step ⇒ no false positives
+        assert got == exact  # identical vectors: recall is deterministic
 
 
 class TestLangIdNgram:
