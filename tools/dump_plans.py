@@ -43,4 +43,25 @@ if __name__ == "__main__":
          grep=("PushedFilters", "ReadSchema", "WholeStageCodegen"))
     show("Nations revenue", e.q_top_nations_revenue(spark, sf), "broadcast joins",
          grep=("Join", "Exchange"), fmt="simple")
+
+    from cms_topn_spark.operators import dedup, similarity
+
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    show(
+        "Jaccard DF-pruned",
+        dedup.jaccard_pairs_pruned(docs, 0.8, max_df=20),
+        "no per-document BroadcastExchange: AQE decides join strategy; the "
+        "pruning groupBy shares the shingle shuffle key",
+        grep=("Join", "Exchange"),
+        fmt="simple",
+    )
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    show(
+        "Cosine near-dup (bucketed)",
+        similarity.cosine_near_dup_pairs_lsh(emb, 0.9),
+        "LSH bucket self-join — candidate generation never broadcasts the "
+        "corpus and never goes O(n²)",
+        grep=("Join", "Exchange"),
+        fmt="simple",
+    )
     spark.stop()
