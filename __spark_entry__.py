@@ -322,6 +322,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (operators/ivf.py): deterministic k-means →
+    cell assignment → probe-cells join → exact re-rank. Run in its exactness
+    regime (n_probe == n_cells ⇒ candidates = corpus ⇒ equals brute force by
+    construction, same oracle-philosophy as the collision-free sketch widths);
+    the n_probe < n_cells approximation path is pytest-covered on planted
+    clusters (tests/test_ivf.py)."""
+    from cms_topn_spark.operators import ivf
+
+    return ivf.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5, n_cells=8, n_probe=8, iters=2
+    )
+
+
 COSINE_DUP_THRESHOLD = 0.4
 
 
@@ -370,6 +384,7 @@ _ORDER: dict[str, str] = {
     "simhash_near_pairs": "a_id, b_id",
     "ann_brute_topk": "query_id, rank",
     "ann_lsh_topk": "query_id, rank",
+    "ann_ivf_topk": "query_id, rank",
     "cosine_near_dup_pairs": "a_id, b_id",
     "winnow_fingerprints": "doc_id, fp",
 }
@@ -447,6 +462,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
     }
@@ -537,6 +553,8 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ann_brute_topk": similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=5),
         # multi-probe h=3 ⇒ recall 1.0 (measured both SFs) ⇒ equals brute force
         "ann_lsh_topk": similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=5),
+        # full-probe IVF = brute force by construction (see q_ann_ivf_topk)
+        "ann_ivf_topk": similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=5),
         "cosine_near_dup_pairs": similarity.cosine_near_dup_pairs_sql(COSINE_DUP_THRESHOLD),
         # full winnowing scheme recomputed in SQL (splitmix64 via HUGEINT
         # modular multiplies) — bit-exact vs the Spark operator

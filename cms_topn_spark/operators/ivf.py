@@ -1,0 +1,178 @@
+"""IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+scale path, complementing the hyperplane-LSH path in similarity.py.
+
+Shape (the one that survives 100 TB):
+
+- **train**: deterministic k-means over the embedding column. Seeds are the
+  vectors with the smallest xxhash64(vec_id) (no RNG state), then a few
+  Lloyd iterations, each ONE scan: every partition GEMMs its batch against
+  the broadcast centroid matrix and emits per-centroid (sum, count) partials
+  — k×dim floats per partition, merged on the driver exactly like sketch
+  states. No row ever shuffles.
+- **assign**: one more scan → (vec_id, cell). At scale this column is what
+  you'd bucket/partition the corpus by.
+- **search**: queries probe their ``n_probe`` nearest cells; candidates come
+  from an equi-join on cell id (shuffle keyed by cell, proportional to the
+  probed fraction of the corpus); exact cosine re-rank inside candidates
+  only. Recall is controlled by n_probe/n_cells — n_probe == n_cells
+  degenerates to brute force.
+
+Everything is deterministic: same input ⇒ same centroids ⇒ same output.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import _batch_embedding_matrix, _cosine_expr
+
+
+def kmeans_fit(
+    df: DataFrame,
+    n_cells: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd k-means; returns the (n_cells, dim) centroid matrix.
+
+    Each iteration is one scan emitting per-partition per-centroid partial
+    sums — the same partial/merge pattern as the sketch builds, so the only
+    data motion is partials (n_cells × dim floats per partition)."""
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    if len(cents) < n_cells:
+        raise ValueError(f"need at least {n_cells} vectors to fit {n_cells} cells")
+    spark = df.sparkSession
+
+    schema = "cell int, cnt long, vsum binary"
+    for _ in range(iters):
+        b_cents = spark.sparkContext.broadcast(cents)
+
+        def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            c = b_cents.value
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            for rb in batches:
+                mat = _batch_embedding_matrix(rb.column(1))
+                # nearest centroid by squared L2 (argmin over GEMM expansion)
+                d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T)
+                d2 += (c * c).sum(1)[None, :]
+                cell = np.argmin(d2, axis=1)
+                np.add.at(sums, cell, mat)
+                counts += np.bincount(cell, minlength=len(c))
+            nz = np.nonzero(counts)[0]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "cell": pa.array(nz.astype(np.int32), pa.int32()),
+                    "cnt": pa.array(counts[nz], pa.int64()),
+                    "vsum": pa.array([sums[i].tobytes() for i in nz], pa.binary()),
+                }
+            )
+
+        rows = df.select(id_col, vec_col).mapInArrow(partials, schema).collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in rows:
+            sums[r["cell"]] += np.frombuffer(bytes(r["vsum"]), dtype=np.float64)
+            counts[r["cell"]] += r["cnt"]
+        moved = counts > 0  # empty cells keep their previous centroid
+        cents = cents.copy()
+        cents[moved] = sums[moved] / counts[moved][:, None]
+        b_cents.destroy()
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment, one scan, no shuffle."""
+    spark = df.sparkSession
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    def assign(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        c = b_cents.value
+        cc = (c * c).sum(1)
+        for rb in batches:
+            ids = rb.column(0).to_numpy()
+            mat = _batch_embedding_matrix(rb.column(1))
+            d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) + cc[None, :]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "cell": pa.array(np.argmin(d2, axis=1).astype(np.int32), pa.int32()),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(assign, "vec_id long, cell int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the n_probe nearest cells per query, exact cosine
+    re-rank inside candidates. Output (query_id, neighbor_id, rank) — the
+    same schema as brute_force_topk/lsh_topk; n_probe == n_cells makes the
+    candidate set the whole corpus (recall 1 by construction)."""
+    cents = kmeans_fit(df, n_cells, iters, id_col, vec_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+
+    qrows = (
+        df.where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_mat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    d2 = (q_mat * q_mat).sum(1)[:, None] - 2.0 * (q_mat @ cents.T)
+    d2 += (cents * cents).sum(1)[None, :]
+    probe_cells = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    spark = df.sparkSession
+    q_probes = spark.createDataFrame(
+        [
+            (int(r[id_col]), int(c))
+            for r, cells in zip(qrows, probe_cells)
+            for c in cells
+        ],
+        "query_id long, cell int",
+    )
+    cand = (
+        F.broadcast(q_probes)
+        .join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    emb_q = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    emb_n = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        cand.join(F.broadcast(emb_q), "query_id")
+        .join(emb_n, "neighbor_id")
+        .withColumn("sim", _cosine_expr())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,68 @@
+"""IVF coarse-quantizer ANN: determinism, full-probe == brute force, and
+clustered-data recall with partial probing."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cms_topn_spark.operators import ivf, similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf001_dir):
+    return spark.read.parquet(os.path.join(sf001_dir, "embeddings.parquet"))
+
+
+def test_kmeans_deterministic(spark, emb):
+    a = ivf.kmeans_fit(emb, n_cells=8, iters=2)
+    b = ivf.kmeans_fit(emb.repartition(7), n_cells=8, iters=2)
+    # partial-sum merge is float-exact only per partitioning; same partitioning
+    # must be bit-identical, different partitioning agrees to fp tolerance
+    c = ivf.kmeans_fit(emb, n_cells=8, iters=2)
+    assert np.array_equal(a, c)
+    assert np.allclose(a, b)
+
+
+def test_full_probe_equals_brute_force(spark, emb):
+    qids = list(range(10))
+    exact = sorted(tuple(r) for r in similarity.brute_force_topk(emb, qids, k=5).collect())
+    full = sorted(
+        tuple(r)
+        for r in ivf.ivf_topk(emb, qids, k=5, n_cells=8, n_probe=8, iters=2).collect()
+    )
+    assert full == exact  # probing every cell = brute force by construction
+
+
+def test_clustered_recall_with_partial_probe(spark):
+    """Planted clusters: IVF with n_probe=1 must recover within-cluster
+    neighbors (the workload IVF exists for)."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 16)) * 10
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(40):
+            v = centers[c] + rng.normal(size=16) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 40, 80, 120]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(df, qids, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf.ivf_topk(df, qids, k=5, n_cells=8, n_probe=1, iters=4).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.95
+
+
+def test_assign_covers_all_vectors(spark, emb):
+    cents = ivf.kmeans_fit(emb, n_cells=8, iters=1)
+    assigned = ivf.ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    cells = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+    assert all(0 <= c < 8 for c in cells)
