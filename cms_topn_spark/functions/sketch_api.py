@@ -255,6 +255,17 @@ def _pack_for_probe(items: pd.Series, sk) -> tuple:
                 f"probe column type tag {have} is not compatible with the "
                 f"sketch's bound item type tag {want}"
             )
+        if have == enc.TYPE_FLOAT64 and want != enc.TYPE_FLOAT64:
+            # a NULL-bearing int column reached pandas as float64; above 2^53
+            # the low bits were already rounded away — probing the rounded
+            # value would silently return the wrong key's estimate
+            vals = arr.to_numpy(zero_copy_only=False)
+            if np.any(np.abs(vals) > 2.0**53):
+                raise ValueError(
+                    "probe values above 2^53 arrived as float64 (NULL-bearing"
+                    " batch) and cannot be recovered exactly; filter NULLs"
+                    " upstream or probe via a string column"
+                )
         try:
             arr = arr.cast(_TAG_TO_ARROW[want])
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:

@@ -410,25 +410,34 @@ def _splitmix64_sql(x_expr: str) -> str:
 def winnow_fingerprints_sql(table: str = "documents", window: int = 4, k: int = SHINGLE_K) -> str:
     """ANSI-SQL (DuckDB) oracle for :func:`winnow_fingerprints`.
 
-    Recomputes the whole scheme in SQL: the k-byte window packed as a
-    little-endian uint64 (valid for ASCII corpora with docs ≥ k chars — true
-    of the test tables), splitmix64 via HUGEINT modular multiplies, the
-    min-per-sliding-window selection as a windowed MIN, and the final
-    DISTINCT per doc. Output matches the operator bit-for-bit, two's
+    Recomputes the whole scheme in SQL for ANY (ASCII) document length: the
+    k-byte window packed as a little-endian uint64 with NUL padding past the
+    end of short texts (coalesce(ord(...), 0) — exactly the operator's
+    zero-padded buffer), splitmix64 via HUGEINT modular multiplies, the
+    min-per-sliding-window selection as a windowed MIN — docs with fewer hash
+    positions than the window keep only the full-coverage window starting at
+    position 1, which equals the operator's global-min fallback — and the
+    final DISTINCT per doc. Output matches the operator bit-for-bit, two's
     complement re-signed to BIGINT."""
-    word = " + ".join(f"ord(text[i+{j}])::UBIGINT * {1 << (8 * j)}" for j in range(k))
+    word = " + ".join(
+        f"coalesce(ord(nullif(text[i+{j}], '')), 0)::UBIGINT * {1 << (8 * j)}"
+        for j in range(k)
+    )
     return f"""
     WITH pos AS (
       SELECT doc_id, unnest(range(1, greatest(len(text) - {k - 2}, 2))) AS i, text
       FROM {table}
     ),
     hashes AS (
-      SELECT doc_id, i, {_splitmix64_sql(f"({word})")} AS h FROM pos
+      SELECT doc_id, i, {_splitmix64_sql(f"({word})")} AS h,
+             count(*) OVER (PARTITION BY doc_id) AS n_pos
+      FROM pos
     ),
     wins AS (
       SELECT doc_id,
              min(h) OVER w AS m,
-             count(*) OVER w AS n_in_win
+             count(*) OVER w AS n_in_win,
+             n_pos
       FROM hashes
       WINDOW w AS (PARTITION BY doc_id ORDER BY i
                    ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
@@ -436,7 +445,7 @@ def winnow_fingerprints_sql(table: str = "documents", window: int = 4, k: int = 
     SELECT DISTINCT doc_id,
            (m::HUGEINT - CASE WHEN m >= 9223372036854775808
                               THEN {_U64_MOD}::HUGEINT ELSE 0 END)::BIGINT AS fp
-    FROM wins WHERE n_in_win = {window}
+    FROM wins WHERE n_in_win = least({window}, n_pos)
     """
 
 

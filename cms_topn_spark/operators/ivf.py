@@ -135,19 +135,18 @@ def ivf_topk(
     re-rank inside candidates. Output (query_id, neighbor_id, rank) — the
     same schema as brute_force_topk/lsh_topk; n_probe == n_cells makes the
     candidate set the whole corpus (recall 1 by construction)."""
+    spark = df.sparkSession
+    empty_schema = "query_id long, neighbor_id long, rank int"
+    qids = [int(q) for q in query_ids]
+    qrows = df.where(F.col(id_col).isin(qids)).select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame([], empty_schema)
     cents = kmeans_fit(df, n_cells, iters, id_col, vec_col)
     assigned = ivf_assign(df, cents, id_col, vec_col)
-
-    qrows = (
-        df.where(F.col(id_col).isin([int(q) for q in query_ids]))
-        .select(id_col, vec_col)
-        .collect()
-    )
     q_mat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     d2 = (q_mat * q_mat).sum(1)[:, None] - 2.0 * (q_mat @ cents.T)
     d2 += (cents * cents).sum(1)[None, :]
     probe_cells = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
-    spark = df.sparkSession
     q_probes = spark.createDataFrame(
         [
             (int(r[id_col]), int(c))
@@ -156,14 +155,20 @@ def ivf_topk(
         ],
         "query_id long, cell int",
     )
+    # no .distinct(): each vector lives in exactly ONE cell and a query's
+    # probe cells are distinct, so the join cannot emit duplicate pairs
     cand = (
         F.broadcast(q_probes)
         .join(assigned, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
     )
-    emb_q = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # query embeddings only — broadcasting the unfiltered corpus would ship
+    # every vector to every executor
+    emb_q = (
+        df.where(F.col(id_col).isin(qids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
     emb_n = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
     scored = (
         cand.join(F.broadcast(emb_q), "query_id")

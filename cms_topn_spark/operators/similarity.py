@@ -311,7 +311,12 @@ def lsh_topk(
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    emb_q = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # query embeddings only — broadcasting the unfiltered corpus would ship
+    # every vector to every executor
+    emb_q = (
+        df.where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
     emb_n = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
     scored = (
         cand.join(F.broadcast(emb_q), "query_id")

@@ -65,6 +65,12 @@ def _read_frame(path: str) -> tuple[int, bytes | None]:
         raise SketchError("corrupt stream state frame (short header)")
     magic, _version, batch_id = _FRAME.unpack_from(raw, 0)
     if magic != _FRAME_MAGIC:
+        if raw[:4] == b"SKS1":  # a bare serialized sketch = pre-frame layout
+            raise SketchError(
+                "stream state file uses the pre-frame layout (raw sketch "
+                "bytes); this version embeds the batch id in the state frame "
+                "— delete or migrate the state directory to restart"
+            )
         raise SketchError("corrupt stream state frame (bad magic)")
     payload = raw[_FRAME.size :]
     return batch_id, payload if payload else None
@@ -206,10 +212,26 @@ def _typed_arrow(vals: pd.Series, spark_dtype: str) -> pa.Array:
     pandas delivers nullable int columns as float64; re-casting to the
     declared type keeps streaming-built sketches hash-compatible with
     batch-built sketches over the same data (a string-ified or float-ified
-    item encodes — and therefore hashes — differently)."""
-    arr = pa.Array.from_pandas(vals)
+    item encodes — and therefore hashes — differently). Types outside the
+    sketch encoding table (boolean, timestamp, decimal, ...) fall back to
+    their string form — the documented contract for exotic item types."""
     target = _SPARK_TO_ARROW.get(spark_dtype)
-    if target is not None and arr.type != target:
+    if target is None:
+        return pa.Array.from_pandas(vals.astype(str))
+    arr = pa.Array.from_pandas(vals)
+    if arr.type != target:
+        if pa.types.is_integer(target) and pa.types.is_floating(arr.type):
+            # a float64-ified int column loses bits above 2^53 BEFORE we see
+            # it (pandas converts at the Arrow boundary when NULLs exist) —
+            # values that large would silently count toward the wrong key
+            import numpy as np
+
+            if np.any(np.abs(arr.to_numpy(zero_copy_only=False)) > 2.0**53):
+                raise ValueError(
+                    f"{spark_dtype} values above 2^53 arrived as float64 "
+                    "(NULL-bearing batch) and cannot be recovered exactly; "
+                    "filter NULLs upstream or cast the column to string"
+                )
         arr = arr.cast(target)
     return arr
 

@@ -66,3 +66,9 @@ def test_assign_covers_all_vectors(spark, emb):
     assert assigned.count() == emb.count()
     cells = [r["cell"] for r in assigned.select("cell").distinct().collect()]
     assert all(0 <= c < 8 for c in cells)
+
+
+def test_empty_query_ids_returns_empty(spark, emb):
+    out = ivf.ivf_topk(emb, query_ids=[987654321], k=5, n_cells=8, n_probe=2, iters=1)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank"]

@@ -126,6 +126,30 @@ class TestDedup:
 
         compare(dedup.winnow_fingerprints(docs), con, dedup.winnow_fingerprints_sql())
 
+    def test_winnow_sql_short_doc_parity(self, spark):
+        """The SQL oracle must match the operator for EVERY document length:
+        NUL padding under k chars, global-min fallback under window hashes."""
+        import duckdb
+
+        from cms_topn_spark.operators import dedup
+
+        docs = [
+            (1, "abc"),
+            (2, ""),
+            (3, "12345678"),
+            (4, "123456789"),
+            (5, "12345678901"),
+            (6, "a" * 12),
+            (7, "hello world this is a normal length document"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r["doc_id"], r["fp"]) for r in dedup.winnow_fingerprints(df).collect()}
+        c = duckdb.connect()
+        c.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        c.executemany("INSERT INTO d VALUES (?, ?)", docs)
+        oracle = {tuple(r) for r in c.execute(dedup.winnow_fingerprints_sql("d")).fetchall()}
+        assert got == oracle
+
     def test_splitmix64_sql_bit_parity(self):
         import duckdb
         import numpy as np

@@ -199,6 +199,27 @@ class TestProbeTyping:
         with pytest.raises((PythonException, Py4JJavaError)):
             ints.withColumn("f", probe(F.col("v"))).collect()
 
+    def test_probe_above_2_53_with_nulls_raises(self, spark):
+        """A NULL-bearing bigint column reaches pandas as float64 — values
+        above 2^53 are already rounded, so probing must raise, not return a
+        silently-wrong estimate."""
+        big = (1 << 60) + 1
+        df = spark.createDataFrame([(big,), (big,)], "v long")
+        sk = cms_topn_add_agg(df, "v", n=3)
+        probe = frequency_udf(sk.to_bytes())
+        probe_df = spark.createDataFrame(
+            [(1, big), (2, None)], "id int, v long"
+        ).coalesce(1)  # the big value and the NULL must share one Arrow batch
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException
+
+        with pytest.raises((PythonException, Py4JJavaError)):
+            probe_df.withColumn("f", probe(F.col("v"))).collect()
+        # without NULLs the column stays int64 and the probe is exact
+        clean = spark.createDataFrame([(big,)], "v long")
+        got = clean.withColumn("f", probe(F.col("v"))).collect()[0]["f"]
+        assert got == 2
+
     def test_mask_udf_matches_driver_get_mask(self, spark, events):
         from cms_topn_spark.functions.sketch_api import mask_udf
 

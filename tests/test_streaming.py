@@ -234,3 +234,39 @@ class TestWindowedStream:
         assert merged.estimate(int(events.first()["user_id"])) == batch.estimate(
             int(events.first()["user_id"])
         )
+
+
+def test_typed_arrow_exotic_types_fall_back_to_string():
+    import pandas as pd
+
+    from cms_topn_spark.streaming.stream_agg import _typed_arrow
+
+    arr = _typed_arrow(pd.Series([True, False, True]), "boolean")
+    assert arr.to_pylist() == ["True", "False", "True"]  # string fallback
+
+
+def test_typed_arrow_above_2_53_float64_raises():
+    import pandas as pd
+    import pytest as _pytest
+
+    from cms_topn_spark.streaming.stream_agg import _typed_arrow
+
+    big = float((1 << 60) + 1)  # already rounded by the float conversion
+    with _pytest.raises(ValueError):
+        _typed_arrow(pd.Series([big, 2.0]), "bigint")
+    # small integral floats cast back exactly
+    arr = _typed_arrow(pd.Series([7.0, 9.0]), "bigint")
+    assert arr.to_pylist() == [7, 9]
+
+
+def test_pre_frame_state_layout_gets_clear_error(tmp_path):
+    from cms_topn_spark.core import SketchError
+    from cms_topn_spark.streaming.stream_agg import _read_frame
+
+    sk = CmsTopn(3, update="linear")
+    sk.add_batch(["x"])
+    p = str(tmp_path / "state.bin")
+    with open(p, "wb") as f:
+        f.write(sk.to_bytes())  # old layout: bare sketch bytes
+    with pytest.raises(SketchError, match="pre-frame layout"):
+        _read_frame(p)
