@@ -48,6 +48,9 @@ HEADLINE = [
     "top_nations_revenue",
     "minhash_lsh_pairs",
     "ann_brute_topk",
+    "exact_dedup",
+    "lang_id_ngram",
+    "winnow_fingerprints",
 ]
 
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "9000000"))
