@@ -320,9 +320,19 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
+        .persist()  # read twice: candidate-doc semi-join + the verify join
     )
-    # verify candidates with exact jaccard over shingle sets
-    sh = df.select(F.col(id_col), shingle_expr(text_col).alias("gs"))
+    # verify candidates with exact jaccard over shingle sets — computed ONLY
+    # for documents that appear in a candidate pair (left-semi first), so the
+    # verify stage costs O(candidate docs), not O(corpus)
+    cand_docs = (
+        cand.select(F.col("a_id").alias(id_col))
+        .union(cand.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(cand_docs, id_col, "left_semi").select(
+        F.col(id_col), shingle_expr(text_col).alias("gs")
+    )
     av = sh.select(F.col(id_col).alias("a_id"), F.col("gs").alias("gs_a"))
     bv = sh.select(F.col(id_col).alias("b_id"), F.col("gs").alias("gs_b"))
     verified = (
