@@ -64,4 +64,14 @@ if __name__ == "__main__":
         grep=("Join", "Exchange"),
         fmt="simple",
     )
+    from cms_topn_spark.operators import ivf
+
+    show(
+        "IVF ANN search",
+        ivf.ivf_topk(emb, list(range(5)), k=3, n_cells=8, n_probe=2, iters=1),
+        "probe-cells broadcast join onto the one-scan cell assignment; only "
+        "the QUERY embeddings broadcast for the re-rank",
+        grep=("Join", "Exchange"),
+        fmt="simple",
+    )
     spark.stop()
