@@ -260,6 +260,12 @@ def q_quality_score(spark, sf_dir):
     return textops.quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/C4-style repetition filters: duplicate-token and top-bigram
+    fractions, pure Catalyst per-row array expressions (no explode/shuffle)."""
+    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_fingerprints(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
@@ -375,6 +381,7 @@ _ORDER: dict[str, str] = {
     "lang_id": "doc_id",
     "lang_id_ngram": "doc_id",
     "quality_score": "doc_id",
+    "repetition_stats": "doc_id",
     "doc_fingerprints": "doc_id",
     "exact_dedup": "doc_id",
     "jaccard_pairs": "a_id, b_id",
@@ -453,6 +460,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
@@ -543,6 +551,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "lang_id": textops.lang_id_sql(),
         "lang_id_ngram": textops.lang_id_ngram_sql(),
         "quality_score": textops.quality_score_sql(),
+        "repetition_stats": textops.repetition_stats_sql(),
         "doc_fingerprints": textops.fingerprints_sql(),
         "exact_dedup": dedup.exact_dedup_sql(),
         "jaccard_pairs": jaccard,

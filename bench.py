@@ -51,6 +51,7 @@ HEADLINE = [
     "exact_dedup",
     "lang_id_ngram",
     "winnow_fingerprints",
+    "repetition_stats",
 ]
 
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "9000000"))

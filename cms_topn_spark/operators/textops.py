@@ -187,6 +187,73 @@ def quality_score_sql(table: str = "documents") -> str:
     """
 
 
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Repetition-based quality features (the Gopher/C4-style filters every
+    web-scale training pipeline applies before training):
+
+      dup_token_fx   = (1 − distinct_tokens / tokens) × 1e6, floored
+      top_bigram_fx  = (count of most frequent word-bigram / bigrams) × 1e6
+
+    Pure Catalyst per-row array expressions — no explode, no shuffle, no
+    Python: cost is bounded per document, so the operator is a map over the
+    scan at any corpus size. The token and SORTED bigram arrays are
+    materialized as columns first (Catalyst does not CSE subexpressions
+    through lambda bodies — inlining them re-built the arrays per lambda
+    iteration, measured 30× slower), and the top-bigram count is a single
+    linear ``aggregate`` run-length pass over the sorted array. Fixed-point
+    micro-units keep Spark and DuckDB bit-identical."""
+    tk = f"split({text_col}, ' ')"
+    bg = (
+        f"CASE WHEN size(tk) < 2 THEN array() "
+        f"ELSE array_sort(transform(sequence(1, size(tk) - 1), "
+        f"i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))) END"
+    )
+    # longest run in the sorted bigram array = most frequent bigram count;
+    # state: (prev element, current run, best run) — one linear pass
+    top_bg = (
+        "aggregate(bg, named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(s, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', CASE WHEN s.prev IS NOT NULL AND x = s.prev THEN s.run + 1L ELSE 1L END, "
+        "  'best', greatest(s.best, CASE WHEN s.prev IS NOT NULL AND x = s.prev "
+        "                           THEN s.run + 1L ELSE 1L END)), "
+        "s -> s.best)"
+    )
+    staged = df.select(
+        F.col(id_col), F.expr(tk).alias("tk")
+    ).withColumn("bg", F.expr(bg))
+    return staged.select(
+        F.col(id_col),
+        F.expr("size(tk)").cast("long").alias("n_tokens"),
+        F.expr("size(array_distinct(tk))").cast("long").alias("distinct_tokens"),
+        F.expr("floor(1000000 * (1.0 - size(array_distinct(tk)) / size(tk)))")
+        .cast("long")
+        .alias("dup_token_fx"),
+        F.expr(top_bg).cast("long").alias("top_bigram_count"),
+        F.expr(f"floor(1000000 * {top_bg} / greatest(size(bg), 1))")
+        .cast("long")
+        .alias("top_bigram_fx"),
+    )
+
+
+def repetition_stats_sql(table: str = "documents") -> str:
+    tk = "string_split(text, ' ')"
+    bg = (
+        f"CASE WHEN len({tk}) < 2 THEN [] "
+        f"ELSE [{tk}[i] || ' ' || {tk}[i+1] for i in range(1, len({tk}))] END"
+    )
+    top_bg = f"list_max([len(list_filter({bg}, x -> x = g)) for g in list_distinct({bg})])"
+    return f"""
+    SELECT doc_id,
+           len({tk})::BIGINT AS n_tokens,
+           len(list_distinct({tk}))::BIGINT AS distinct_tokens,
+           floor(1000000 * (1.0 - len(list_distinct({tk}))::DOUBLE / len({tk})))::BIGINT AS dup_token_fx,
+           coalesce({top_bg}, 0)::BIGINT AS top_bigram_count,
+           floor(1000000 * coalesce({top_bg}, 0)::DOUBLE / greatest(len({bg}), 1))::BIGINT AS top_bigram_fx
+    FROM {table}
+    """
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 of the exact text bytes."""
     return df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))

@@ -65,6 +65,26 @@ class TestTextOps:
 
         compare(textops.fingerprints(docs), con, textops.fingerprints_sql())
 
+    def test_repetition_stats(self, docs, con, spark):
+        import duckdb
+
+        from cms_topn_spark.operators import textops
+
+        compare(textops.repetition_stats(docs), con, textops.repetition_stats_sql())
+        # edge cases: empty text, single token, all-repeats, alternating pair
+        rows = [(1, ""), (2, "a"), (3, "a a a a"), (4, "x y x y x y")]
+        edge = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["dup_token_fx"], r["top_bigram_fx"]) for r in
+               textops.repetition_stats(edge).collect()}
+        assert got[1] == (0, 0) and got[2] == (0, 0)
+        assert got[3] == (750000, 1000000)  # 4×"a": 3/4 dups, "a a" is every bigram
+        assert got[4] == (666666, 600000)  # "x y" appears 3 of 5 bigrams
+        c = duckdb.connect()
+        c.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        c.executemany("INSERT INTO d VALUES (?, ?)", rows)
+        oracle = {r[0]: (r[3], r[5]) for r in c.execute(textops.repetition_stats_sql("d")).fetchall()}
+        assert got == oracle
+
 
 class TestDedup:
     def test_exact_dedup(self, docs, con):
