@@ -86,9 +86,27 @@ class BloomFilter(MergeableSketch):
         return hits.all(axis=0)
 
     def contains(self, value) -> bool:
+        """Membership probe, mirroring CmsTopn.estimate's type rules: an int
+        that cannot fit the bound integer width was never added → False; a
+        cross-family probe (string vs int filter) is a type error."""
         if value is None:
             return False
-        tag = self.item_type if self.item_type != enc.TYPE_UNSET else enc.infer_type_tag(value)
+        if self.item_type == enc.TYPE_UNSET:
+            tag = enc.infer_type_tag(value)
+        else:
+            tag = enc.infer_type_tag(value)
+            numeric = (enc.TYPE_INT32, enc.TYPE_INT64)
+            if tag != self.item_type:
+                if tag == enc.TYPE_INT32 and self.item_type == enc.TYPE_INT64:
+                    tag = enc.TYPE_INT64
+                elif tag == enc.TYPE_INT64 and self.item_type == enc.TYPE_INT32:
+                    return False  # cannot fit the bound type ⇒ never added
+                elif not (tag in numeric and self.item_type in numeric):
+                    raise SketchError(
+                        "cannot query items of a different type on this bloom filter"
+                    )
+                else:
+                    tag = self.item_type
         b = enc.encode_one(value, tag)
         return bool(self.contains_packed(b, np.array([0]), np.array([len(b)]))[0])
 

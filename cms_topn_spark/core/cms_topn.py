@@ -109,11 +109,12 @@ class CmsTopn(MergeableSketch):
 
     def add(self, value) -> "CmsTopn":
         """Single-item add (reference-faithful sequential path). None → no-op
-        (cms_topn_add(s, NULL) returns s unchanged, expected/add.out:20-36)."""
+        (cms_topn_add(s, NULL) returns s unchanged, expected/add.out:20-36).
+        Type inference is left to add_batch so a small int added to an
+        int64-bound sketch gets the same sticky coercion as the batch path."""
         if value is None:
             return self
-        tag = enc.infer_type_tag(value)
-        self.add_batch([value], type_tag=tag)
+        self.add_batch([value])
         return self
 
     def add_batch(self, values, counts=None, type_tag: int | None = None) -> None:
@@ -155,6 +156,10 @@ class CmsTopn(MergeableSketch):
             counts = np.ones(n_items, dtype=np.int64)
         else:
             counts = np.asarray(counts, dtype=np.int64)
+            if counts.size and int(counts.min()) < 0:
+                # a negative count would wrap through uint64 and silently
+                # poison the counters (and everything merged with them)
+                raise SketchError("item counts must be non-negative")
 
         if hashes is not None:
             h1, h2 = hashes
@@ -312,6 +317,9 @@ class CmsTopn(MergeableSketch):
             or self.confidence != other.confidence
             or self.depth != other.depth
             or self.width != other.width
+            # mixed update modes would make the merged bytes (flags) and all
+            # future updates depend on merge order — refuse loudly
+            or self.update_mode != other.update_mode
         ):
             raise SketchError("cannot merge cms_topns with different parameters")
         if (

@@ -142,7 +142,11 @@ class HyperLogLog(MergeableSketch):
             and self.item_type != other.item_type
         ):
             raise SketchError("cannot merge hll sketches of different types")
-        out = HyperLogLog(self.p, self.sparse_limit)
+        # min() keeps merge commutative when the two sides were configured
+        # with different sparse limits: mode transitions and serialized bytes
+        # must not depend on argument order (base.py merge-determinism
+        # contract — the Spark tree merge feeds partials in arbitrary order)
+        out = HyperLogLog(self.p, min(self.sparse_limit, other.sparse_limit))
         out.item_type = self.item_type if self.item_type != enc.TYPE_UNSET else other.item_type
         if self.mode == MODE_SPARSE and other.mode == MODE_SPARSE:
             out.sparse = np.union1d(self.sparse, other.sparse)

@@ -43,12 +43,20 @@ class KllSketch(MergeableSketch):
     # ---------------- add ----------------
 
     def add_batch(self, values, counts=None, type_tag=None) -> None:
-        arr = np.asarray(
-            [v for v in values if v is not None] if not isinstance(values, np.ndarray) else values,
-            dtype=np.float64,
-        )
-        if isinstance(values, np.ndarray):
-            arr = arr[~np.isnan(arr)]
+        """None/NaN dropped uniformly for list and ndarray inputs. Weighted
+        adds are NOT supported by this compactor — rejecting them loudly
+        beats silently treating every count as 1."""
+        if counts is not None:
+            raise SketchError(
+                "kll does not support weighted adds; expand counts upstream "
+                "or use tdigest_add_agg for weighted quantiles"
+            )
+        if not isinstance(values, np.ndarray):
+            values = np.asarray(
+                [np.nan if v is None else v for v in values], dtype=np.float64
+            )
+        arr = np.asarray(values, dtype=np.float64)
+        arr = arr[~np.isnan(arr)]
         if len(arr) == 0:
             return
         self.levels[0] = np.concatenate([self.levels[0], arr])

@@ -122,10 +122,22 @@ class MinMaskSketch(MergeableSketch):
     # ---------------- query ----------------
 
     def get_mask(self, value) -> int | None:
-        """mms_get_mask: NULL → None."""
+        """mms_get_mask: NULL → None. Type rules mirror CmsTopn.estimate: an
+        int too wide for the bound type was never added → empty mask 0; a
+        cross-family query (string vs int sketch) is a type error."""
         if value is None:
             return None
-        tag = self.item_type if self.item_type != enc.TYPE_UNSET else enc.infer_type_tag(value)
+        tag = enc.infer_type_tag(value)
+        if self.item_type != enc.TYPE_UNSET and tag != self.item_type:
+            numeric = (enc.TYPE_INT32, enc.TYPE_INT64)
+            if tag == enc.TYPE_INT32 and self.item_type == enc.TYPE_INT64:
+                tag = enc.TYPE_INT64
+            elif tag == enc.TYPE_INT64 and self.item_type == enc.TYPE_INT32:
+                return 0
+            elif not (tag in numeric and self.item_type in numeric):
+                raise SketchError("not a proper mms for the result type")
+            else:
+                tag = self.item_type
         b = enc.encode_one(value, tag)
         return int(self.get_masks_packed(b, np.array([0]), np.array([len(b)]))[0])
 

@@ -71,20 +71,32 @@ class TDigest(MergeableSketch):
     # ---------------- add ----------------
 
     def add_batch(self, values, counts=None, type_tag=None) -> None:
-        arr = np.asarray(
-            [v for v in values if v is not None] if not isinstance(values, np.ndarray) else values,
-            dtype=np.float64,
-        )
-        if isinstance(values, np.ndarray):
-            arr = arr[~np.isnan(arr)]
+        """Weighted adds supported natively (each value becomes a centroid of
+        weight count). None and NaN values are dropped uniformly regardless of
+        container type — list and ndarray inputs build identical digests."""
+        if not isinstance(values, np.ndarray):
+            values = np.asarray(
+                [np.nan if v is None else v for v in values], dtype=np.float64
+            )
+        arr = np.asarray(values, dtype=np.float64)
+        if counts is None:
+            w = np.ones(len(arr))
+        else:
+            w = np.asarray(counts, dtype=np.float64)
+            if len(w) != len(arr):
+                raise SketchError("counts length must match values length")
+            if w.size and w.min() < 0:
+                raise SketchError("item counts must be non-negative")
+        keep = ~np.isnan(arr) & (w > 0)
+        arr, w = arr[keep], w[keep]
         if len(arr) == 0:
             return
-        arr = np.sort(arr)
-        w = np.ones(len(arr))
+        order0 = np.argsort(arr, kind="stable")
+        arr, w = arr[order0], w[order0]
         m = np.concatenate([self.means, arr])
         ww = np.concatenate([self.weights, w])
         order = np.argsort(m, kind="stable")
-        self.n += len(arr)
+        self.n += int(w.sum())
         self._compress(m[order], ww[order])
 
     # ---------------- query ----------------
@@ -102,17 +114,22 @@ class TDigest(MergeableSketch):
             i = min(i, len(m) - 1)
             j = min(i + 1, len(m) - 1)
             return float(m[i] + (m[j] - m[i]) * frac)
-        # standard mid-point interpolation between centroids
+        # heavy centroids (weight > 1, from weighted adds or compression) own
+        # a mass SLAB, not a point: anchor each centroid at half a unit inside
+        # each end of its slab (both anchors share its mean, so any target
+        # inside the slab returns the mean exactly), then interpolate
+        # piecewise-linearly between anchors — mid-point interpolation across
+        # a 99-weight centroid would otherwise bleed a far neighbor's value
+        # into the median
         target = q * total
-        cum = np.cumsum(w) - w / 2.0
-        if target <= cum[0]:
-            return float(m[0])
-        if target >= cum[-1]:
-            return float(m[-1])
-        i = int(np.searchsorted(cum, target) - 1)
-        span = cum[i + 1] - cum[i]
-        frac = (target - cum[i]) / span if span > 0 else 0.0
-        return float(m[i] + (m[i + 1] - m[i]) * frac)
+        left = np.cumsum(w) - w  # mass strictly left of each centroid
+        pos = np.empty(2 * len(m))
+        val = np.empty(2 * len(m))
+        pos[0::2] = left + np.minimum(w, 1.0) / 2.0
+        pos[1::2] = left + w - np.minimum(w, 1.0) / 2.0
+        val[0::2] = m
+        val[1::2] = m
+        return float(np.interp(target, pos, val))
 
     def quantiles(self, qs) -> list[float]:
         return [self.quantile(q) for q in qs]
