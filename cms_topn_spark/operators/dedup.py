@@ -232,10 +232,14 @@ def _doc_gram_hashes(texts, k: int = SHINGLE_K) -> tuple[np.ndarray, np.ndarray,
 def _minhash_signatures(texts: pd.Series, k: int = SHINGLE_K) -> np.ndarray:
     """(n_docs, N_PERM) uint64 minhash matrix — vectorized across the batch;
     perms evaluated in blocks so the (grams × perms) matrix stays cache-sized."""
-    a, b = _perm_params()
     if len(texts) == 0:
         return np.empty((0, N_PERM), dtype=U64)
     d_u, h1, n = _doc_gram_hashes(texts, k)
+    return _signatures_from_hashes(d_u, h1, n)
+
+
+def _signatures_from_hashes(d_u: np.ndarray, h1: np.ndarray, n: int) -> np.ndarray:
+    a, b = _perm_params()
     hv = (h1 % U64(_MERSENNE)).astype(U64)
     seg_starts = np.flatnonzero(np.concatenate(([True], d_u[1:] != d_u[:-1])))
     docs_present = d_u[seg_starts]
@@ -264,27 +268,39 @@ def _minhash_signatures(texts: pd.Series, k: int = SHINGLE_K) -> np.ndarray:
     return out
 
 
+def _band_keys_from_sig(sig: np.ndarray) -> np.ndarray:
+    """(n, N_PERM) signature matrix → (n, N_BANDS) uint64 band keys
+    (splitmix fold of each band's rows)."""
+    n = sig.shape[0]
+    bands = sig.reshape(n, N_BANDS, ROWS_PER_BAND)
+    key = bands[:, :, 0]
+    for r in range(1, ROWS_PER_BAND):
+        key = _splitmix64(key ^ bands[:, :, r])
+    return key
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Signature work is CPU-bound in the worker: spread an under-partitioned
+    corpus across the cluster before the mapInArrow (no-op at real scale,
+    where the input already has >= cores partitions)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df
+
+
 def minhash_band_keys(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, band, key): one row per band, key = hash of the band's rows."""
-    # signature work is CPU-bound in the worker: spread a under-partitioned
-    # corpus across the cluster before the mapInArrow (no-op at real scale,
-    # where the input already has >= cores partitions)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = _spread(df)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             pdf = rb.to_pandas()
             sig = _minhash_signatures(pdf[text_col])
             n = len(pdf)
-            bands = sig.reshape(n, N_BANDS, ROWS_PER_BAND)
-            # band key: splitmix of the band rows folded together
-            key = bands[:, :, 0]
-            for r in range(1, ROWS_PER_BAND):
-                key = _splitmix64(key ^ bands[:, :, r])
+            key = _band_keys_from_sig(sig)
             ids = np.repeat(pdf[id_col].to_numpy(), N_BANDS)
             band_idx = np.tile(np.arange(N_BANDS), n)
             yield pa.RecordBatch.from_pydict(
@@ -298,6 +314,52 @@ def minhash_band_keys(
     return df.select(id_col, text_col).mapInArrow(fn, "doc_id long, band int, key long")
 
 
+def minhash_doc_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One kernel pass per document → (doc_id, keys, grams):
+
+    - ``keys``: the N_BANDS LSH band keys (splitmix fold of each band's
+      signature rows) — explode for the candidate join;
+    - ``grams``: the doc's DISTINCT char-k-gram murmur hashes — the exact
+      verify set. Jaccard over 64-bit gram hashes equals Jaccard over the
+      grams themselves up to hash collisions (P ≈ |union|²/2⁶⁴ per pair,
+      ~1e-10 at web-document sizes).
+
+    The gram hashes are already computed for the signatures, so emitting
+    them costs one Arrow column, not a second scan — the verify stage then
+    never recomputes shingles or rejoins the corpus text."""
+    df = _spread(df)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            pdf = rb.to_pandas()
+            n = len(pdf)
+            if n == 0:
+                continue
+            d_u, h1, _ = _doc_gram_hashes(pdf[text_col])
+            sig = _signatures_from_hashes(d_u, h1, n)
+            keys = _band_keys_from_sig(sig).astype(np.int64)
+            # every doc has ≥1 gram (zero-padded), so segments cover 0..n-1
+            counts = np.bincount(d_u, minlength=n)
+            g_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+            grams = pa.ListArray.from_arrays(
+                pa.array(g_off, pa.int64()), pa.array(h1.view(np.int64), pa.int64())
+            )
+            k_off = np.arange(0, (n + 1) * N_BANDS, N_BANDS, dtype=np.int64)
+            keys_arr = pa.ListArray.from_arrays(
+                pa.array(k_off, pa.int64()), pa.array(keys.ravel(), pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(pdf[id_col].to_numpy(), pa.int64()), keys_arr, grams],
+                ["doc_id", "keys", "grams"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        fn, "doc_id long, keys array<long>, grams array<long>"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame, threshold: float = 0.8, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -306,11 +368,20 @@ def minhash_lsh_pairs(
     With 32 bands × 4 rows, a pair at true similarity s is missed with
     probability (1-s⁴)³², < 1e-7 at s=0.8 — at the verification threshold the
     candidate set is effectively lossless, so the output equals the exact
-    operator (and shares its oracle)."""
-    # persist: the self-join would otherwise recompute the signatures twice
-    bands = minhash_band_keys(df, id_col, text_col).persist()
-    a = bands.alias("a")
-    b = bands.alias("b")
+    operator (and shares its oracle).
+
+    Plan shape: ONE kernel pass builds band keys + gram-hash sets per doc
+    (:func:`minhash_doc_features`, persisted — at petabyte scale write it to
+    a parquet stage instead; it is O(corpus tokens) like any tokenized
+    intermediate). Candidates come from the band self-join; the verify stage
+    joins the candidate pairs straight back to the cached per-doc gram sets,
+    so it costs O(candidate pairs) with no second corpus scan, no string
+    shingle rebuild, and no semi-join staging. The returned pair set (tiny by
+    construction — it is the dedup output) is materialized eagerly via
+    localCheckpoint so the feature cache is released before returning."""
+    feats = minhash_doc_features(df, id_col, text_col).persist()
+    bandrows = feats.select("doc_id", F.posexplode("keys").alias("band", "key"))
+    a, b = bandrows.alias("a"), bandrows.alias("b")
     cand = (
         a.join(
             b,
@@ -320,30 +391,20 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
-        .persist()  # read twice: candidate-doc semi-join + the verify join
     )
-    # verify candidates with exact jaccard over shingle sets — computed ONLY
-    # for documents that appear in a candidate pair (left-semi first), so the
-    # verify stage costs O(candidate docs), not O(corpus)
-    cand_docs = (
-        cand.select(F.col("a_id").alias(id_col))
-        .union(cand.select(F.col("b_id").alias(id_col)))
-        .distinct()
-    )
-    sh = df.join(cand_docs, id_col, "left_semi").select(
-        F.col(id_col), shingle_expr(text_col).alias("gs")
-    )
-    av = sh.select(F.col(id_col).alias("a_id"), F.col("gs").alias("gs_a"))
-    bv = sh.select(F.col(id_col).alias("b_id"), F.col("gs").alias("gs_b"))
+    fa = feats.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("gs_a"))
+    fb = feats.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gs_b"))
     verified = (
-        cand.join(av, "a_id")
-        .join(bv, "b_id")
+        cand.join(fa, "a_id")
+        .join(fb, "b_id")
         .withColumn("i", F.size(F.array_intersect("gs_a", "gs_b")))
         .withColumn("u", F.size("gs_a") + F.size("gs_b") - F.col("i"))
         .where(F.col("i") / F.col("u") >= threshold)
         .select("a_id", "b_id")
     )
-    return verified
+    out = verified.localCheckpoint(eager=True)
+    feats.unpersist()
+    return out
 
 
 # ------------------------------------------------------------- winnowing
