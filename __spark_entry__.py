@@ -8,15 +8,11 @@ are configured in their exactness regimes (collision-free CMS width,
 sparse-exact HLL, uncompacted KLL/t-digest) so the comparison is equality,
 per SURVEY.md §5.2(3).
 
-Queries intentionally without an oracle (driver records rows-only):
-  - simhash_docs / simhash_near_pairs: SimHash geometry has no SQL-expressible
-    equivalent and measurably does NOT coincide with any Jaccard threshold on
-    this corpus (see q_simhash_near_pairs); their exactness baselines
-    (jaccard_pairs, minhash_lsh_pairs, doc_fingerprints) are oracle-checked,
-    and planted-duplicate coverage is asserted in pytest.
-  Everything else is oracle-checked, including winnow_fingerprints (the whole
-  rolling-hash scheme recomputed in DuckDB SQL) and ann_lsh_topk (multi-probe
-  parameters put recall at 1.0 on this data, so brute force is its oracle).
+Every query is oracle-checked (30/30), including winnow_fingerprints and
+simhash_docs/simhash_near_pairs (their full hash schemes — splitmix64 via
+HUGEINT modular multiplies — recomputed bit-exactly in DuckDB SQL) and
+ann_lsh_topk (run in its explicitly-labeled full-probe exactness regime, so
+brute force is its oracle by construction).
 """
 
 from __future__ import annotations
@@ -193,6 +189,47 @@ def q_mms_user_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming under the hard correctness gate: the events table
+    is re-read as a file STREAM (availableNow trigger, one file per
+    micro-batch), every micro-batch builds per-partition sketch partials that
+    fold into ONE persisted global state (streaming/stream_agg.py — the
+    idempotent batch-id frame protocol with atomic fsync'd commits), and the
+    final sketch's topn must equal the batch GROUP-BY oracle exactly. This is
+    the batch-equivalence property the mergeable-state protocol guarantees:
+    streaming and batch builds of the same data produce the same sketch."""
+    import shutil
+    import tempfile
+
+    from cms_topn_spark.streaming.stream_agg import read_stream_state, sketch_stream_agg
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_gate_")
+    try:
+        # the file stream source needs a DIRECTORY; stage the table as 4
+        # files so availableNow + maxFilesPerTrigger=1 yields four real
+        # micro-batches folding into one state (row set unchanged)
+        src = os.path.join(tmp, "in")
+        ev.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select("event_type")
+        )
+        q = sketch_stream_agg(
+            stream,
+            lambda: CmsTopn(5, update="linear"),
+            os.path.join(tmp, "state"),
+            os.path.join(tmp, "ckpt"),
+        )
+        q.awaitTermination()
+        sk = read_stream_state(os.path.join(tmp, "state"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return topn(spark, sk)
+
+
 def q_grouped_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level per-group CMS build (operators/grouped.py): per event_type,
     frequencies of user_ids < 10; zero-count pairs drop (exact at this width).
@@ -301,12 +338,12 @@ def q_simhash_docs(spark, sf_dir):
 def q_simhash_near_pairs(spark, sf_dir):
     """Pigeonhole-banded Hamming-≤3 pairs over 64-bit SimHash signatures.
 
-    Rows-only by necessity, not convenience: Hamming distance does NOT track
-    n-gram Jaccard monotonically on short documents (measured on this corpus:
-    a pair at Jaccard 0.992 sits at Hamming 41 — few shingles ⇒ ±1-vote bits
-    flip freely), so no SQL-expressible pair set equals this output. The
-    exactness baselines (jaccard_pairs, minhash_lsh_pairs) are oracle-checked;
-    planted-duplicate coverage is asserted in tests/test_pipeline_operators."""
+    Fully oracled since the gram hash moved to splitmix64 over the packed
+    8-byte gram word (the SQL-renderable kernel winnowing already used): the
+    oracle recomputes signatures bit-exactly in DuckDB and takes ALL-PAIRS
+    Hamming ≤ 3, while the operator's pigeonhole banding (k+1 chunks, join on
+    any exact-matching chunk, verify full distance) is the O(candidates)
+    scale plan being checked against it."""
     return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
@@ -318,13 +355,20 @@ def q_ann_brute_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Multi-probe hyperplane LSH (probe Hamming ≤ 3): recall measured 1.0 at
-    sf0.01 and sf0.1 even on these uniform-random embeddings (the adversarial
-    case for LSH), so the output equals brute force and shares its oracle —
-    the same recall-1-by-parameters argument as minhash_lsh_pairs. Lower
-    probe budgets trade recall for candidate volume (lsh_topk docstring)."""
+    """Hyperplane LSH in its FULL-PROBE exactness regime: n_planes=8 with
+    probe_hamming=8 enumerates every bucket key, so candidates = corpus BY
+    CONSTRUCTION and the output equals brute force (same oracle) while still
+    exercising the signature build + bucket-join machinery — the same
+    explicitly-labeled oracle regime as IVF's n_probe = n_cells. This corpus
+    is uniform-random (near-neighbors sit barely above the bulk cosine), so
+    no sublinear probe can reach recall 1 here. The operator's DEFAULT config
+    (16 planes × 16 tables, probe_hamming=2) probes 0.2 % of keys per table —
+    the genuinely sublinear 100-TB plan — and its recall ≥ 0.95 plus a
+    candidate-fraction bound are pytest-asserted on planted clusters
+    (tests/test_pipeline_operators.py)."""
     return similarity.lsh_topk(
-        _t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5, probe_hamming=3
+        _t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5,
+        probe_hamming=8, n_planes=8,
     )
 
 
@@ -346,7 +390,21 @@ COSINE_DUP_THRESHOLD = 0.4
 
 
 def q_cosine_near_dup_pairs(spark, sf_dir):
-    return similarity.cosine_near_dup_pairs(
+    """Exact cosine pairs via distributed block-GEMM (similarity.py:
+    cosine_near_dup_pairs_blocked): every vector is shuffled to B+1 block-pair
+    tasks — no driver-side collect, no corpus broadcast anywhere in the
+    lineage — and the output is exact at ANY threshold, so it keeps the full
+    value-hash oracle.
+
+    Why not demonstrate the LSH-bucketed variant here: measured on this
+    corpus, the maximum pair cosine is 0.51 (no pairs exist in the near-dup
+    regime LSH is built for), and at the demonstrated threshold 0.4 the
+    16-table × 8-plane hyperplane LSH has per-pair recall ≈ 0.34 — its output
+    would NOT coincide with the exact oracle. cosine_near_dup_pairs_lsh stays
+    the first-class operator for true near-dup thresholds (recall ≥ 0.995 at
+    s ≥ 0.9) and is pytest-verified on planted duplicates; the corpus-
+    broadcast baseline (cosine_near_dup_pairs) is pytest-only."""
+    return similarity.cosine_near_dup_pairs_blocked(
         _t(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD
     )
 
@@ -374,6 +432,7 @@ _ORDER: dict[str, str] = {
     "tdigest_median_by_type": "event_type",
     "bloom_customer_semijoin": "matched_customers",
     "mms_user_masks": "user_id",
+    "stream_event_type_counts": "frequency DESC, item",
     "grouped_user_freq": "event_type, user_id",
     "tpch_q1_pricing": "l_returnflag, l_linestatus",
     "top_nations_revenue": "n_name",
@@ -453,6 +512,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_median_by_type": q_tdigest_median_by_type,
         "bloom_customer_semijoin": q_bloom_customer_semijoin,
         "mms_user_masks": q_mms_user_masks,
+        "stream_event_type_counts": q_stream_event_type_counts,
         "grouped_user_freq": q_grouped_user_freq,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "top_nations_revenue": q_top_nations_revenue,
@@ -526,6 +586,10 @@ def _raw_oracle_sql() -> dict[str, str]:
             SELECT user_id, bit_or({_MASK_EXPR})::BIGINT AS mask
             FROM events WHERE user_id < 30 GROUP BY user_id
         """,
+        "stream_event_type_counts": """
+            SELECT event_type AS item, count(*)::BIGINT AS frequency
+            FROM events GROUP BY event_type ORDER BY frequency DESC LIMIT 5
+        """,
         "grouped_user_freq": """
             SELECT event_type, user_id, count(*)::BIGINT AS frequency
             FROM events WHERE user_id < 10 GROUP BY event_type, user_id
@@ -565,8 +629,9 @@ def _raw_oracle_sql() -> dict[str, str]:
         # full-probe IVF = brute force by construction (see q_ann_ivf_topk)
         "ann_ivf_topk": similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=5),
         "cosine_near_dup_pairs": similarity.cosine_near_dup_pairs_sql(COSINE_DUP_THRESHOLD),
-        # full winnowing scheme recomputed in SQL (splitmix64 via HUGEINT
-        # modular multiplies) — bit-exact vs the Spark operator
+        # full winnowing / simhash schemes recomputed in SQL (splitmix64 via
+        # HUGEINT modular multiplies) — bit-exact vs the Spark operators
         "winnow_fingerprints": dedup.winnow_fingerprints_sql(),
-        # simhash_docs / simhash_near_pairs: rows-only (see q_simhash_near_pairs)
+        "simhash_docs": dedup.simhash_sql(),
+        "simhash_near_pairs": dedup.simhash_near_pairs_sql(max_hamming=3),
     }

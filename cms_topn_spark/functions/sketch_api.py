@@ -105,21 +105,25 @@ def cms_topn_union(a: CmsTopn | None, b: CmsTopn | None) -> CmsTopn | None:
 
 def cms_topn_union_agg(df: DataFrame, state_col: str = "state", fanin: int = 16) -> CmsTopn | None:
     """Merge a DataFrame column of serialized sketch states (NULLs skipped;
-    all-NULL → None, expected/union_agg.out:8-18)."""
+    all-NULL → None, expected/union_agg.out:8-18).
+
+    The bounded-fan-in tree's own persist+count doubles as the emptiness
+    check (0 rows → no merge levels → empty collect → None), so there is no
+    separate ``limit(1).count()`` pre-action — the whole agg is the tree's
+    count plus one ≤fanin-row collect."""
     states = df.select(
         F.pmod(F.monotonically_increasing_id(), F.lit(2**31 - 1)).cast("int").alias("partition_id"),
         F.col(state_col).alias("state"),
         F.lit(0).cast("long").alias("input_rows"),
         F.lit(0).cast("long").alias("build_wall_ms"),
     ).where(F.col(state_col).isNotNull())
-    if states.limit(1).count() == 0:
-        return None
-    states = tree_merge_df(states, fanin)
+    merged = tree_merge_df(states, fanin)
+    rows = merged.collect()
+    merged.unpersist()
     acc = None
-    for r in states.collect():
+    for r in rows:
         if r["state"] is not None:
             acc = merge_serialized(acc, bytes(r["state"]))
-    states.unpersist()
     return sketch_from_bytes(acc) if acc is not None else None
 
 
@@ -178,14 +182,28 @@ def cms_topn_add_udf():
     return add
 
 
-def topn_explode(df: DataFrame, state_col: str = "state") -> DataFrame:
+def topn_explode(
+    df: DataFrame, state_col: str = "state", type_tag: int | None = None
+) -> DataFrame:
     """Per-row topn() SRF over a table of serialized sketches — the COPY
     round-trip scenario (output/copy.source:9-17: 6 sketches → concatenated
-    groups). NULL/empty states contribute 0 rows."""
+    groups). NULL/empty states contribute 0 rows.
+
+    Items come back with the sketches' BOUND type (int sketches → long
+    column), matching the driver-level :func:`topn`. When ``type_tag`` is
+    not given it is read from the first non-NULL state (one footer-sized
+    driver action); types outside the topn schema table (float64, binary)
+    fall back to their string rendering, as upstream's text output does."""
     from pyspark.sql.types import ArrayType
 
+    if type_tag is None:
+        probe = df.select(state_col).where(F.col(state_col).isNotNull()).first()
+        if probe is not None:
+            type_tag = sketch_from_bytes(bytes(probe[0])).item_type
+    item_t = _TOPN_SCHEMAS.get(type_tag, StringType())
+    native = type_tag in _TOPN_SCHEMAS
     item_schema = StructType(
-        [StructField("item", StringType(), True), StructField("frequency", LongType(), True)]
+        [StructField("item", item_t, True), StructField("frequency", LongType(), True)]
     )
 
     @pandas_udf(ArrayType(item_schema))
@@ -196,7 +214,17 @@ def topn_explode(df: DataFrame, state_col: str = "state") -> DataFrame:
                 out.append([])
                 continue
             sk = sketch_from_bytes(bytes(st))
-            out.append([(str(i), int(f)) for i, f in sk.topn_list()])
+            if native and sk.item_type not in (type_tag, enc.TYPE_UNSET):
+                raise TypeError(
+                    f"sketch bound to item type tag {sk.item_type} in a "
+                    f"column exploded as tag {type_tag}"
+                )
+            out.append(
+                [
+                    (i if native else str(i), int(f))
+                    for i, f in sk.topn_list(type_tag if native else None)
+                ]
+            )
         return pd.Series(out)
 
     return df.select(
@@ -237,7 +265,15 @@ def _pack_for_probe(items: pd.Series, sk) -> tuple:
     Dropping nulls first, then casting the Arrow array to the sketch's bound
     type, restores build-time encoding; a genuinely incompatible column (e.g.
     strings probed against an int sketch, or 7.5 against int64) raises instead
-    of hashing garbage. Returns (data, offsets, lengths, notnull_mask)."""
+    of hashing garbage. Returns (data, offsets, lengths, notnull_mask).
+
+    Contract asymmetry (deliberate): the scalar API (CmsTopn.estimate) rejects
+    ANY float probe against an int-bound sketch, while this column path
+    accepts a float64 column whose values are all integral — because pandas
+    delivers every NULL-bearing int column as float64, and rejecting those
+    would make NULL-tolerant probes impossible. The cast is checked (non-
+    integral values or >2^53 magnitudes raise), so the loosening can never
+    hash a different key than the build did."""
     from ..operators.build import arrow_type_tag
 
     mask = items.notna().to_numpy()

@@ -195,13 +195,14 @@ def _perm_params() -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _doc_gram_hashes(texts, k: int = SHINGLE_K) -> tuple[np.ndarray, np.ndarray, int]:
-    """All texts → (doc_idx, murmur_h1) of their DISTINCT char-k-gram shingles,
-    grouped by doc — one fully-vectorized pass over the whole batch.
+def _doc_gram_words(texts, k: int = SHINGLE_K) -> tuple[np.ndarray, np.ndarray, int]:
+    """All texts → (doc_idx, packed_u64_word) of their DISTINCT char-k-gram
+    shingles, grouped by doc — one fully-vectorized pass over the whole batch.
 
     Grams are built as k-byte sliding windows over the zero-padded UTF-8
-    concatenation (docs shorter than k yield one zero-padded gram), deduped
-    per doc with a lexsort, and hashed once each."""
+    concatenation (docs shorter than k yield one zero-padded gram) and
+    deduped per doc with a lexsort; each gram is its little-endian uint64
+    packing (the SQL-renderable form winnowing and SimHash hash from)."""
     assert k == 8, "fast path packs grams as uint64 words (k must be 8)"
     bs = [(t or "").encode("utf-8") for t in texts]
     n = len(bs)
@@ -222,7 +223,13 @@ def _doc_gram_hashes(texts, k: int = SHINGLE_K) -> tuple[np.ndarray, np.ndarray,
     d_s, k_s = gram_doc[order], key64[order]
     keep = np.ones(len(d_s), dtype=bool)
     keep[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
-    d_u, k_u = d_s[keep], k_s[keep]
+    return d_s[keep], k_s[keep], n
+
+
+def _doc_gram_hashes(texts, k: int = SHINGLE_K) -> tuple[np.ndarray, np.ndarray, int]:
+    """(doc_idx, murmur_h1) of each doc's distinct gram words — the minhash
+    item hashes."""
+    d_u, k_u, n = _doc_gram_words(texts, k)
     gram_bytes = np.ascontiguousarray(k_u).view(np.uint8)
     h1, _ = hash128(gram_bytes, np.arange(len(k_u), dtype=np.int64) * k,
                     np.full(len(k_u), k, dtype=np.int64))
@@ -524,24 +531,28 @@ def winnow_fingerprints_sql(table: str = "documents", window: int = 4, k: int = 
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document over char shingles (Charikar 2002)."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    """64-bit SimHash per document over char shingles (Charikar 2002).
+
+    Gram hashes are splitmix64 of the packed 8-byte gram word — the same
+    SQL-renderable kernel winnowing uses — so the ENTIRE signature scheme
+    (distinct grams → per-bit ±1 votes → sign bits) has a bit-exact DuckDB
+    oracle (:func:`simhash_sql`)."""
+    df = _spread(df)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             pdf = rb.to_pandas()
             if len(pdf) == 0:
                 continue
-            d_u, h1, n = _doc_gram_hashes(pdf[text_col])
+            d_u, k_u, n = _doc_gram_words(pdf[text_col])
+            h = _splitmix64(k_u.view(np.int64))
             # per-doc bit votes: ±1 per gram per bit, segment-summed
             # (reduceat); bit-major chunks keep temps small on this box
             seg_starts = np.flatnonzero(np.concatenate(([True], d_u[1:] != d_u[:-1])))
             doc_votes = np.empty((len(seg_starts), 64), dtype=np.int64)
             for b0 in range(0, 64, 8):
                 shifts = np.arange(b0, b0 + 8, dtype=U64)
-                bits = ((h1[None, :] >> shifts[:, None]) & U64(1)).astype(np.int32)
+                bits = ((h[None, :] >> shifts[:, None]) & U64(1)).astype(np.int32)
                 votes = 2 * bits - 1
                 doc_votes[:, b0 : b0 + 8] = np.add.reduceat(votes, seg_starts, axis=1).T
             sig_bits = (doc_votes > 0).astype(np.uint64)
@@ -556,6 +567,65 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             )
 
     return df.select(id_col, text_col).mapInArrow(fn, "doc_id long, simhash long")
+
+
+def simhash_sql(table: str = "documents", k: int = SHINGLE_K) -> str:
+    """Bit-exact DuckDB oracle for :func:`simhash`: the same packed-word +
+    NUL-padding scheme as :func:`winnow_fingerprints_sql`, splitmix64 via
+    HUGEINT modular multiplies, per-bit ±1 votes summed per doc, sign bits
+    assembled in HUGEINT and re-signed to BIGINT."""
+    word = " + ".join(
+        f"coalesce(ord(nullif(text[i+{j}], '')), 0)::UBIGINT * {1 << (8 * j)}"
+        for j in range(k)
+    )
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END"
+        for b in range(64)
+    )
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, unnest(range(1, greatest(len(text) - {k - 2}, 2))) AS i, text
+      FROM {table}
+    ),
+    words AS (
+      SELECT DISTINCT doc_id, ({word}) AS w FROM pos
+    ),
+    hashes AS (
+      SELECT doc_id, {_splitmix64_sql("w")} AS h FROM words
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM hashes GROUP BY doc_id
+    ),
+    assembled AS (SELECT doc_id, ({assemble}) AS s FROM votes)
+    SELECT doc_id,
+           (s - CASE WHEN s >= 9223372036854775808::HUGEINT
+                     THEN {_U64_MOD}::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS simhash
+    FROM assembled
+    """
+
+
+def simhash_near_pairs_sql(
+    table: str = "documents", max_hamming: int = 3, k: int = SHINGLE_K
+) -> str:
+    """Oracle for :func:`simhash_near_pairs`: signatures via
+    :func:`simhash_sql`, then ALL-PAIRS Hamming (the oracle can afford O(n²);
+    the operator's pigeonhole banding is the scale plan being checked)."""
+    unsign = (
+        "(({0}.simhash::HUGEINT + CASE WHEN {0}.simhash < 0 "
+        f"THEN {_U64_MOD}::HUGEINT ELSE 0::HUGEINT END))::UBIGINT"
+    )
+    return f"""
+    WITH sigs AS ({simhash_sql(table, k)})
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor({unsign.format('a')}, {unsign.format('b')})) <= {max_hamming}
+    """
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -168,16 +168,110 @@ def cosine_near_dup_pairs_sql(threshold: float, table: str = "embeddings") -> st
     """
 
 
+def cosine_near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_blocks: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine pairs via distributed block-GEMM — no driver collect,
+    no corpus broadcast.
+
+    The corpus is hashed into B blocks; each unordered block-pair (i ≤ j)
+    becomes one cogroup task that GEMMs block i against block j and emits the
+    pairs above ``threshold``. Every vector is shuffled to exactly B+1 tasks
+    (its row of the block-pair triangle), so shuffle volume is O(n·B) rows
+    while compute stays the unavoidable O(n²·d/P) of an EXACT all-pairs
+    similarity — this is the standard blocked formulation that distributes it
+    with bounded task memory (a task holds two blocks, ~2n/B vectors). Output
+    is identical to the brute-force baseline at ANY threshold, which is what
+    lets low-threshold scans (no LSH regime) keep an exact oracle; for true
+    near-duplicate thresholds (≥0.8-0.9) prefer
+    :func:`cosine_near_dup_pairs_lsh`, whose cost is O(candidates) instead of
+    O(n²).
+
+    Pick ``n_blocks`` so a block (~n/B vectors × d floats) fits task memory;
+    the default sizes the triangle to ~2 tasks per core.
+
+    The pair output (tiny by construction) is materialized eagerly via
+    localCheckpoint: consistent cache lifetime with the other pair operators,
+    and it sidesteps a Spark 4.1 optimizer hazard where a count-only consumer
+    prunes the cogroup's right-side input columns down to the grouping key
+    (observed: the UDF receives only ``pk`` on the right under
+    ``df.count()``)."""
+    spark = df.sparkSession
+    if n_blocks is None:
+        par = spark.sparkContext.defaultParallelism
+        n_blocks = max(2, int(np.ceil(np.sqrt(4 * par))))
+    B = int(n_blocks)
+
+    src = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("blk"),
+    )
+    # a row in block p participates in block-pairs (p, j) j>=p as LEFT and
+    # (i, p) i<=p as RIGHT; pk = i*B + j identifies the unordered pair
+    left = src.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.expr(f"transform(sequence(blk, {B - 1}), j -> blk * {B} + j)")
+        ).alias("pk"),
+    )
+    right = src.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.expr(f"transform(sequence(0, blk), i -> i * {B} + blk)")
+        ).alias("pk"),
+    )
+
+    def gemm(key, lpdf, rpdf):
+        import pandas as pd
+
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype("int64")
+        pk = int(key[0])
+        diagonal = (pk // B) == (pk % B)
+        lid = lpdf["vec_id"].to_numpy()
+        rid = rpdf["vec_id"].to_numpy()
+        lm = np.array(list(lpdf["emb"]), dtype=np.float64)
+        rm = np.array(list(rpdf["emb"]), dtype=np.float64)
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = lm @ rm.T
+        keep = sims >= threshold
+        if diagonal:
+            keep &= lid[:, None] < rid[None, :]
+        else:
+            keep &= lid[:, None] != rid[None, :]
+        r, c = np.nonzero(keep)
+        a, b = lid[r], rid[c]
+        return pd.DataFrame(
+            {"a_id": np.minimum(a, b), "b_id": np.maximum(a, b)}
+        )
+
+    return (
+        left.groupBy("pk")
+        .cogroup(right.groupBy("pk"))
+        .applyInPandas(gemm, "a_id long, b_id long")
+        .localCheckpoint(eager=True)
+    )
+
+
 # ------------------------------------------------------------- LSH path
 
 
-N_PLANES = 8  # 8-bit signatures → 256 buckets per table
+N_PLANES = 8  # near-dup self-join default: 8-bit signatures → 256 buckets
 N_TABLES = 16  # independent hash tables for recall
+TOPK_N_PLANES = 16  # ANN top-k default: 65536 buckets/table (see lsh_topk)
 
 
-def _planes(dim: int) -> np.ndarray:
-    """(N_TABLES, N_PLANES, dim) deterministic gaussian-ish hyperplanes."""
-    n = N_TABLES * N_PLANES * dim
+def _planes(dim: int, n_planes: int = N_PLANES, n_tables: int = N_TABLES) -> np.ndarray:
+    """(n_tables, n_planes, dim) deterministic gaussian-ish hyperplanes."""
+    n = n_tables * n_planes * dim
     h = _splitmix64(np.arange(n, dtype=np.int64) + 12345)
     # box-muller-free: map two uniforms to approx normal via sum of 4 uniforms
     u = h.astype(np.float64) / 2**64
@@ -186,11 +280,15 @@ def _planes(dim: int) -> np.ndarray:
         + _splitmix64(np.arange(n, dtype=np.int64) + 99999).astype(np.float64) / 2**64
         - 1.0
     )
-    return g.reshape(N_TABLES, N_PLANES, dim)
+    return g.reshape(n_tables, n_planes, dim)
 
 
 def lsh_signatures(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
 ) -> DataFrame:
     """(vec_id, tbl, bucket): hyperplane-LSH bucket keys, one row per table.
 
@@ -204,16 +302,16 @@ def lsh_signatures(
             ids = rb.column(0).to_numpy()
             mat = _batch_embedding_matrix(rb.column(1))
             if planes is None:
-                planes = _planes(mat.shape[1])
-            bits_all = np.zeros((len(ids), N_TABLES), dtype=np.int64)
-            for t in range(N_TABLES):
-                proj = mat @ planes[t].T  # (B, N_PLANES)
+                planes = _planes(mat.shape[1], n_planes, n_tables)
+            bits_all = np.zeros((len(ids), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                proj = mat @ planes[t].T  # (B, n_planes)
                 bits = (proj > 0).astype(np.int64)
-                bits_all[:, t] = (bits << np.arange(N_PLANES)).sum(axis=1)
-            tbl = np.tile(np.arange(N_TABLES), len(ids))
+                bits_all[:, t] = (bits << np.arange(n_planes)).sum(axis=1)
+            tbl = np.tile(np.arange(n_tables), len(ids))
             yield pa.RecordBatch.from_pydict(
                 {
-                    "vec_id": pa.array(np.repeat(ids, N_TABLES), pa.int64()),
+                    "vec_id": pa.array(np.repeat(ids, n_tables), pa.int64()),
                     "tbl": pa.array(tbl.astype(np.int32), pa.int32()),
                     "bucket": pa.array(bits_all.ravel(), pa.int64()),
                 }
@@ -249,7 +347,11 @@ def cosine_near_dup_pairs_lsh(
     emitted pair is verified); recall at similarity s is
     1 − (1 − p^B)^T with p = 1 − arccos(s)/π, B = N_PLANES, T = N_TABLES —
     ≥ 99.5 % at s = 0.9 with the default 16 × 8 configuration, and tunable by
-    the table/plane constants."""
+    the table/plane constants.
+
+    The returned pair set (tiny by construction — it is the near-dup output)
+    is materialized eagerly via localCheckpoint so the signature cache is
+    released before returning."""
     sigs = lsh_signatures(df, id_col, vec_col).persist()
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
@@ -264,12 +366,27 @@ def cosine_near_dup_pairs_lsh(
     )
     emb_a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("qv"))
     emb_b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("nv"))
-    return (
+    out = (
         cand.join(emb_a, "a_id")
         .join(emb_b, "b_id")
         .where(_cosine_expr() >= threshold)
         .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
     )
+    sigs.unpersist()
+    return out
+
+
+def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """All XOR masks within Hamming distance ``probe_hamming`` of a bucket
+    key — the multi-probe neighborhood. probe_hamming >= n_planes enumerates
+    the ENTIRE key space (the full-probe exactness regime)."""
+    if n_planes > 12 and probe_hamming >= n_planes:
+        raise ValueError(
+            "full-probe enumeration of 2^n_planes masks is only sensible for "
+            "small n_planes (the explicit oracle regime); use n_planes <= 12"
+        )
+    return [m for m in range(1 << n_planes) if bin(m).count("1") <= probe_hamming]
 
 
 def lsh_topk(
@@ -278,7 +395,9 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    probe_hamming: int = 0,
+    probe_hamming: int = 2,
+    n_planes: int = TOPK_N_PLANES,
+    n_tables: int = N_TABLES,
 ) -> DataFrame:
     """ANN top-k: random-hyperplane LSH buckets, exact re-rank inside buckets.
 
@@ -286,17 +405,25 @@ def lsh_topk(
     additionally probes every bucket within Hamming distance h of its own
     bucket key, trading candidate-set size for recall without growing the
     index. Per-table candidate probability at cosine s rises from p^B to
-    Σ_{i≤h} C(B,i)·p^(B-i)·(1-p)^i with p = 1 − arccos(s)/π. h=0 is the
-    classic one-bucket probe; h=3 with the default 16×8 config reaches
-    recall ≈ 1 even on uniform-random corpora (where near-neighbors sit
-    barely above the bulk — the adversarial case). The exactness baseline is
-    brute_force_topk (same output schema)."""
-    sigs = lsh_signatures(df, id_col, vec_col)
+    Σ_{i≤h} C(B,i)·p^(B-i)·(1-p)^i with p = 1 − arccos(s)/π.
+
+    The default config (16 planes × 16 tables, h=2) probes 137 of 65536 keys
+    per table (~0.2 %; expected random-candidate fraction ≈ 3 % of the corpus
+    across all tables) — a genuinely sublinear plan whose recall on clustered
+    embeddings (the regime ANN exists for) is ≥ 0.95, pytest-verified on
+    planted clusters. On uniform-random corpora, where "neighbors" sit barely
+    above the bulk cosine, NO sublinear probe can reach recall 1 — for an
+    oracle-exact run use the FULL-PROBE regime: ``n_planes=8,
+    probe_hamming=8`` enumerates every bucket, making candidates = corpus BY
+    CONSTRUCTION (the same explicitly-labeled exactness regime as IVF's
+    n_probe = n_cells), which still exercises the whole signature/bucket-join
+    machinery. The exactness baseline is brute_force_topk (same schema)."""
+    sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables)
     qsigs = sigs.where(F.col("vec_id").isin([int(q) for q in query_ids])).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
     if probe_hamming > 0:
-        masks = [m for m in range(1 << N_PLANES) if bin(m).count("1") <= probe_hamming]
+        masks = probe_masks(n_planes, probe_hamming)
         qsigs = qsigs.select(
             "query_id",
             "tbl",

@@ -222,15 +222,19 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     staged = df.select(
         F.col(id_col), F.expr(tk).alias("tk")
     ).withColumn("bg", F.expr(bg))
-    return staged.select(
+    # top_bg is materialized ONCE as a column (the same no-CSE-through-lambdas
+    # pitfall as tk/bg: interpolating it into both output expressions ran the
+    # run-length pass twice per row), then both outputs derive from it
+    counted = staged.withColumn("top_bigram_count", F.expr(top_bg).cast("long"))
+    return counted.select(
         F.col(id_col),
         F.expr("size(tk)").cast("long").alias("n_tokens"),
         F.expr("size(array_distinct(tk))").cast("long").alias("distinct_tokens"),
         F.expr("floor(1000000 * (1.0 - size(array_distinct(tk)) / size(tk)))")
         .cast("long")
         .alias("dup_token_fx"),
-        F.expr(top_bg).cast("long").alias("top_bigram_count"),
-        F.expr(f"floor(1000000 * {top_bg} / greatest(size(bg), 1))")
+        F.col("top_bigram_count"),
+        F.expr("floor(1000000 * top_bigram_count / greatest(size(bg), 1))")
         .cast("long")
         .alias("top_bigram_fx"),
     )

@@ -52,7 +52,16 @@ def _write_frame(path: str, batch_id: int, state: bytes | None) -> None:
         f.write(_FRAME.pack(_FRAME_MAGIC, 1, batch_id))
         if state:
             f.write(state)
+        f.flush()
+        os.fsync(f.fileno())  # frame durable BEFORE it becomes visible
     os.replace(tmp, path)  # the commit point: one atomic rename
+    # fsync the directory so the rename itself survives power loss — without
+    # this the commit is atomic only against process crashes, not OS crashes
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _read_frame(path: str) -> tuple[int, bytes | None]:

@@ -195,6 +195,30 @@ class TestDedup:
         )
         assert np.array_equal(got, expect)
 
+    def test_simhash_matches_sql_oracle(self, docs, con, spark):
+        """The whole SimHash scheme (NUL-padded packed grams → splitmix64 →
+        ±1 bit votes → sign bits) recomputed bit-exactly in DuckDB, plus the
+        banded near-pair operator vs the all-pairs Hamming oracle."""
+        import duckdb
+
+        from cms_topn_spark.operators import dedup
+
+        compare(dedup.simhash(docs), con, dedup.simhash_sql())
+        compare(
+            dedup.simhash_near_pairs(docs, max_hamming=3),
+            con,
+            dedup.simhash_near_pairs_sql(max_hamming=3),
+        )
+        # length edge cases: empty, sub-k, exactly k, k+1
+        rows = [(1, ""), (2, "a"), (3, "12345678"), (4, "abcdefghi")]
+        edge = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted((r["doc_id"], r["simhash"]) for r in dedup.simhash(edge).collect())
+        c = duckdb.connect()
+        c.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        c.executemany("INSERT INTO d VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in c.sql(dedup.simhash_sql("d")).fetchall())
+        assert got == want
+
     def test_simhash_near_pairs_cover_planted_dups(self, docs, spark):
         from cms_topn_spark.operators import dedup
 
@@ -228,11 +252,24 @@ class TestSimilarity:
             similarity.brute_force_topk_sql(qids, k=5),
         )
 
-    def test_lsh_recall_against_bruteforce(self, spark, sf001_dir):
+    def test_lsh_topk_nondegenerate_recall_on_planted_clusters(self, spark):
+        """The DEFAULT lsh_topk config (16 planes × 16 tables, h=2) is a
+        genuinely sublinear plan: probes ≤0.3 % of bucket keys per table,
+        measured candidate volume a small fraction of Q×n, and recall ≥0.95
+        on planted clusters (the regime ANN exists for)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
         from cms_topn_spark.operators import similarity
 
-        emb = spark.read.parquet(os.path.join(sf001_dir, "embeddings.parquet"))
-        qids = list(range(10))
+        rng = np.random.default_rng(42)
+        C, M, D = 20, 25, 32
+        centers = rng.normal(size=(C, D))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        pts = np.repeat(centers, M, axis=0) + 0.05 * rng.normal(size=(C * M, D))
+        rows = [(i, [float(x) for x in pts[i]]) for i in range(C * M)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qids = [c * M for c in range(C)]
         exact = {
             (r["query_id"], r["neighbor_id"])
             for r in similarity.brute_force_topk(emb, qids, k=5).collect()
@@ -241,17 +278,35 @@ class TestSimilarity:
             (r["query_id"], r["neighbor_id"])
             for r in similarity.lsh_topk(emb, qids, k=5).collect()
         }
-        # approximate path: proper output shape and non-trivial recall.
-        # These fixture embeddings are uniform-random (near-neighbors sit at
-        # cosine ~0.3, barely above the bulk), the adversarial case for
-        # hyperplane LSH — on clustered real embeddings recall is far higher.
-        # The exactness baseline (oracle-checked) is brute_force_topk.
-        assert len(approx) == len(exact)
-        assert len(exact & approx) / len(exact) >= 0.15
+        assert len(exact & approx) / len(exact) >= 0.95
+        # probe neighborhood is a sub-percent slice of the key space
+        masks = similarity.probe_masks(similarity.TOPK_N_PLANES, 2)
+        assert len(masks) / (1 << similarity.TOPK_N_PLANES) <= 0.003
+        # measured candidate fraction: sublinear, not corpus-scan-by-join
+        sigs = similarity.lsh_signatures(emb, n_planes=similarity.TOPK_N_PLANES)
+        qs = sigs.where(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"), "tbl", "bucket"
+        )
+        qs = qs.select(
+            "query_id",
+            "tbl",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        )
+        cand = (
+            qs.join(sigs, ["tbl", "bucket"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+            .distinct()
+            .count()
+        )
+        assert cand / (len(qids) * C * M) <= 0.15
 
-    def test_multiprobe_lsh_equals_brute_force(self, spark, sf001_dir):
-        """probe_hamming=3 multi-probe: recall 1.0 even on uniform-random
-        embeddings — the driver query's oracle-sharing argument."""
+    def test_full_probe_lsh_equals_brute_force(self, spark, sf001_dir):
+        """The full-probe exactness regime (n_planes=8, probe_hamming=8
+        enumerates every bucket ⇒ candidates = corpus by construction) equals
+        brute force — the driver query's oracle argument."""
         from cms_topn_spark.operators import similarity
 
         emb = spark.read.parquet(os.path.join(sf001_dir, "embeddings.parquet"))
@@ -259,9 +314,33 @@ class TestSimilarity:
         exact = sorted(tuple(r) for r in similarity.brute_force_topk(emb, qids, k=5).collect())
         approx = sorted(
             tuple(r)
-            for r in similarity.lsh_topk(emb, qids, k=5, probe_hamming=3).collect()
+            for r in similarity.lsh_topk(
+                emb, qids, k=5, probe_hamming=8, n_planes=8
+            ).collect()
         )
         assert approx == exact
+
+    def test_cosine_blocked_matches_oracle_and_baseline(self, spark, sf001_dir, con):
+        """Block-GEMM exact pairs (the demonstrated, collect-free shape):
+        equals the DuckDB oracle at a low threshold (where no LSH regime
+        exists) and the broadcast baseline row-for-row."""
+        from cms_topn_spark.operators import similarity
+
+        emb = spark.read.parquet(os.path.join(sf001_dir, "embeddings.parquet"))
+        compare(
+            similarity.cosine_near_dup_pairs_blocked(emb, 0.4),
+            con,
+            similarity.cosine_near_dup_pairs_sql(0.4),
+        )
+        blocked = {
+            (r["a_id"], r["b_id"])
+            for r in similarity.cosine_near_dup_pairs_blocked(emb, 0.4, n_blocks=3).collect()
+        }
+        baseline = {
+            (r["a_id"], r["b_id"])
+            for r in similarity.cosine_near_dup_pairs(emb, 0.4).collect()
+        }
+        assert blocked == baseline
 
     def test_cosine_lsh_near_dup_pairs_planted(self, spark, sf001_dir):
         """Bucketed near-dup pairs: planted exact duplicates (cosine 1.0 ⇒

@@ -323,3 +323,19 @@ class TestSketchColumnForms:
             groups.setdefault(r["partition_id"], []).append(r["frequency"])
         for freqs in groups.values():
             assert freqs == sorted(freqs, reverse=True)
+
+    def test_topn_explode_is_typed(self, spark, events):
+        """An int64 sketch table explodes to a LONG item column whose rows
+        equal the typed driver-level topn() — no stringified items."""
+        from cms_topn_spark.functions.sketch_api import topn, topn_explode
+
+        states = build_partials(
+            events.select("user_id").coalesce(1), lambda: CmsTopn(5, update="linear")
+        )
+        exploded = topn_explode(states.select("state"))
+        assert dict(exploded.dtypes)["item"] == "bigint"
+        sk = sketch_from_bytes(bytes(states.collect()[0]["state"]))
+        driver_level = [(r["item"], r["frequency"]) for r in topn(spark, sk).collect()]
+        got = [(r["item"], r["frequency"]) for r in exploded.collect()]
+        assert got == driver_level
+        assert all(isinstance(i, int) for i, _ in got)
