@@ -13,9 +13,10 @@ Two parts:
    one-scan multi-sketch job (URL/host/token heavy hitters + URL HLL over the
    synthetic webpages table) at local[2] vs local[8] (N vs 4N cores) on the
    same page-cache-warm parquet input; efficiency = (docs/sec @8) /
-   (4 x docs/sec @2), interleaved adaptive best-of with a plausibility band,
-   ambient-load gate, full-batch warm, and a process-tree CPU-seconds
-   supplement (cpu_parity) — BENCH/BASELINE.md §2 documents every guard.
+   (4 x docs/sec @2), FIXED-rep interleaved protocol (no outcome-conditioned
+   stopping), best + median reported side by side, ambient-load gate,
+   full-batch warm, and a process-tree CPU-seconds supplement (cpu_parity) —
+   BENCH/BASELINE.md §2 documents every guard.
    Why this pair: below 2 slots the JVM-thread+Python-worker pipeline makes
    "one slot" occupy ~1.7 cores (deflates the ratio), and beyond 16 slots the
    32-hw-thread box oversubscribes and measures context switching, not the
@@ -57,8 +58,7 @@ HEADLINE = [
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "9000000"))
 SCALING_LEVELS = (2, 8)  # N vs 4N cores; see BENCH/BASELINE.md for the protocol
 DOCS_PER_FILE = 46_875  # ≈12 MB/file < maxPartitionBytes ⇒ uniform 1-file tasks
-EFF_TARGET = 0.82  # stop adding reps once the recorded efficiency clears this
-MAX_REPS = 5
+SCALING_REPS = 3  # FIXED rep count — no outcome-conditioned early stopping
 SCALING_WALL_BUDGET = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "420"))
 AMBIENT_GATE = 3.5  # external load above this at start → wait (bounded) for quiet
 
@@ -114,6 +114,16 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     spark = get_spark("bench-headline", cpus=cpus)
     qs = entrymod.queries()
     warmup(spark, cpus)
+    # JMH-style warm iteration: run every headline pipeline once at sf0.001
+    # (50-500 rows) so the timed run measures steady-state execution, not
+    # first-call JVM whole-stage-codegen compilation and Python-worker arena
+    # page faults (both one-time session costs; this box's page-fault
+    # pathology makes them seconds-scale). Disclosed in BENCH/BASELINE.md §1.
+    warm_dir = os.path.join(os.path.dirname(os.path.abspath(sf_dir.rstrip("/"))), "sf0.001")
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for name in HEADLINE:
+            qs[name](spark, warm_dir).count()
+        log("  warm pass (all headline pipelines at sf0.001) done")
     # warm the parquet reader + the sketch code path once so the first timed
     # query doesn't absorb session-level lazy init
     qs["cms_topn_event_types"](spark, sf_dir).count()
@@ -157,14 +167,16 @@ def flagship_build(spark, input_path: str, pages=None) -> int:
     return sk["url_topn"].total
 
 
-def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, max_reps: int = MAX_REPS) -> dict:
-    """Alternating best-of-N protocol: the sandbox box is noisy (shared vCPUs),
-    so each level is measured in its own session, interleaved, best wall kept.
-    Reps are adaptive: once the recorded efficiency clears EFF_TARGET, stop —
-    more reps only burn wall time; below it, keep sampling (up to max_reps) so
-    a single external load spike can't poison the round's number. CPU seconds
-    of the whole process tree are recorded per timed run as the
-    noise-independent supplement."""
+def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int = SCALING_REPS) -> dict:
+    """FIXED-rep interleaved protocol (no adaptive stopping): the sandbox box
+    is noisy (shared vCPUs), so each level is measured in its own session,
+    interleaved, for exactly ``reps`` reps — the stopping rule never looks at
+    the efficiency value, removing the optional-stopping bias a target-coupled
+    early exit would introduce. Both the best-of and the median wall per level
+    are reported (best is the standard noise filter on a shared box; median is
+    the conservative check), plus process-tree CPU seconds per rep
+    (cpu_parity ≈ 1.0 certifies identical work, the noise-independent
+    supplement)."""
     from cms_topn_spark.spark_session import get_spark
 
     # local mode shares one JVM per process, so levels must run sequentially
@@ -172,17 +184,12 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, max_reps: i
     # fully warm EVERY session (workers + one flagship pass) so no timed run
     # pays cold-worker page-fault costs
     lo, hi = levels
-    best = {c: 1e18 for c in levels}
-    best_cpu = {c: 0.0 for c in levels}
-    pairs = []  # (wall_lo, cpu_lo, wall_hi, cpu_hi) per interleaved rep
+    walls = {c: [] for c in levels}
+    cpus_used = {c: [] for c in levels}
     loads = []
     section_t0 = time.monotonic()
 
-    def eff_now() -> float:
-        return (best[lo] / best[hi]) / (hi / lo)
-
-    for rep in range(max_reps):
-        this_pair = []
+    for rep in range(reps):
         for cpus in levels:
             spark = get_spark(
                 f"bench-scaling-{cpus}",
@@ -216,34 +223,30 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, max_reps: i
             wall = time.monotonic() - t0
             cpu = _tree_cpu_seconds() - cpu0
             assert total == n_docs
-            if wall < best[cpus]:
-                best[cpus] = wall
-                best_cpu[cpus] = cpu
-            this_pair += [wall, cpu]
+            walls[cpus].append(wall)
+            cpus_used[cpus].append(cpu)
             loads.append(round(load_pre, 2))
             log(f"  rep{rep} local[{cpus}]: {wall:.2f}s wall, {cpu:.1f}s cpu (load {load_pre:.1f})")
             spark.stop()
-        pairs.append(tuple(this_pair))
-        log(f"  efficiency after rep{rep}: {eff_now():.3f}")
-        # accept only a PLAUSIBLE pass: >1.0 means the slow level's best is
-        # still polluted (this job cannot scale superlinearly) — keep sampling
-        if rep >= 1 and EFF_TARGET <= eff_now() <= 1.0:
-            break  # two independent samples per level and the target is met
-        if time.monotonic() - section_t0 > SCALING_WALL_BUDGET:
-            log("  scaling wall budget exhausted — reporting best so far")
+        # the only early exit is the WALL BUDGET — a rule independent of the
+        # measured efficiency, so it cannot bias the recorded statistic
+        if rep + 1 < reps and time.monotonic() - section_t0 > SCALING_WALL_BUDGET:
+            log("  scaling wall budget exhausted — reporting completed reps")
             break
-    raw_eff = eff_now()  # as cross-paired, BEFORE any fallback/cap
-    if raw_eff > 1.0:
-        # cross-pairing a storm-polluted slow level with a clean fast level
-        # fabricates superlinear scaling — fall back to the single CLEANEST
-        # interleaved pair (min combined CPU = least contended shared window)
-        w_lo, c_lo, w_hi, c_hi = min(pairs, key=lambda p: p[1] + p[3])
-        best[lo], best_cpu[lo] = w_lo, c_lo
-        best[hi], best_cpu[hi] = w_hi, c_hi
-        log("  implausible best-of pairing — using cleanest interleaved pair")
+
+    def med(xs):
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    best = {c: min(walls[c]) for c in levels}
+    best_cpu = {c: cpus_used[c][walls[c].index(best[c])] for c in levels}
+    eff_best = (best[lo] / best[hi]) / (hi / lo)
+    eff_median = (med(walls[lo]) / med(walls[hi])) / (hi / lo)
     res = {
         c: {
             "wall_sec": round(best[c], 3),
+            "wall_sec_median": round(med(walls[c]), 3),
             "docs_per_sec": round(n_docs / best[c], 1),
             "cpu_sec": round(best_cpu[c], 1),
         }
@@ -252,15 +255,24 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, max_reps: i
     # superlinear scaling is impossible for this job: an efficiency above 1.0
     # can only mean the slow level never saw a quiet window — cap the headline
     # number conservatively and keep the raw value + cpu_parity for the reader
-    res["efficiency"] = round(min(eff_now(), 1.0), 3)
-    res["efficiency_raw"] = round(raw_eff, 3)  # pre-fallback evidence
+    res["efficiency"] = round(min(eff_best, 1.0), 3)
+    res["efficiency_raw"] = round(eff_best, 3)  # uncapped best-of evidence
+    res["efficiency_median"] = round(eff_median, 3)
+    res["reps_fixed"] = True
+    res["reps"] = len(walls[lo])
     # cpu_parity: total CPU seconds hi vs lo on the best runs — ≈1.0 means the
     # engine did the same work and any wall gap is contention, not the plan
     res["cpu_parity"] = round(best_cpu[hi] / best_cpu[lo], 3) if best_cpu[lo] else None
     res["loadavg_per_rep"] = loads
     for c in levels:
-        log(f"  local[{c}]: {res[c]['wall_sec']}s -> {res[c]['docs_per_sec']:,.0f} docs/s")
-    log(f"  scaling efficiency {lo}->{hi} cores: {res['efficiency']} (cpu parity {res['cpu_parity']})")
+        log(
+            f"  local[{c}]: best {res[c]['wall_sec']}s / median "
+            f"{res[c]['wall_sec_median']}s -> {res[c]['docs_per_sec']:,.0f} docs/s"
+        )
+    log(
+        f"  scaling efficiency {lo}->{hi} cores: best {res['efficiency']} / "
+        f"median {res['efficiency_median']} (cpu parity {res['cpu_parity']})"
+    )
     return res
 
 
@@ -300,7 +312,7 @@ def main() -> None:
         # (2,8) is the N-vs-4N pair whose slot/core mapping is consistent
         # across both levels (a 1-slot run still pipelines a JVM thread with
         # a Python worker over ~1.7 cores, so (1,4) deflates the ratio);
-        # interleaved adaptive reps, best-of — see BENCH/BASELINE.md
+        # fixed interleaved reps, best + median — see BENCH/BASELINE.md
         scaling_28 = run_scaling(input_path, SCALING_DOCS, levels=(2, 8))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -323,6 +335,11 @@ def main() -> None:
                     "local8": scaling_28[8],
                     "efficiency": scaling_28["efficiency"],
                     "efficiency_raw": scaling_28["efficiency_raw"],
+                    # median-based efficiency: the conservative fixed-protocol
+                    # statistic alongside the best-of headline
+                    "efficiency_median": scaling_28["efficiency_median"],
+                    "reps_fixed": scaling_28["reps_fixed"],
+                    "reps": scaling_28["reps"],
                     # cpu_parity = CPU-seconds(local8)/CPU-seconds(local2) on
                     # the best runs: ≈1.0 certifies both levels did identical
                     # work, so any efficiency shortfall is box contention,

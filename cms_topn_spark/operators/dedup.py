@@ -368,7 +368,11 @@ def minhash_doc_features(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, threshold: float = 0.8, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidates + exact-Jaccard verification.
 
@@ -385,7 +389,9 @@ def minhash_lsh_pairs(
     so it costs O(candidate pairs) with no second corpus scan, no string
     shingle rebuild, and no semi-join staging. The returned pair set (tiny by
     construction — it is the dedup output) is materialized eagerly via
-    localCheckpoint so the feature cache is released before returning."""
+    localCheckpoint so the feature cache is released before returning;
+    ``materialize=False`` returns the lazy plan instead (for composition or
+    plan inspection — the caller then owns the feature cache lifetime)."""
     feats = minhash_doc_features(df, id_col, text_col).persist()
     bandrows = feats.select("doc_id", F.posexplode("keys").alias("band", "key"))
     a, b = bandrows.alias("a"), bandrows.alias("b")
@@ -409,6 +415,8 @@ def minhash_lsh_pairs(
         .where(F.col("i") / F.col("u") >= threshold)
         .select("a_id", "b_id")
     )
+    if not materialize:
+        return verified
     out = verified.localCheckpoint(eager=True)
     feats.unpersist()
     return out

@@ -174,6 +174,7 @@ def cosine_near_dup_pairs_blocked(
     n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact cosine pairs via distributed block-GEMM — no driver collect,
     no corpus broadcast.
@@ -253,12 +254,14 @@ def cosine_near_dup_pairs_blocked(
             {"a_id": np.minimum(a, b), "b_id": np.maximum(a, b)}
         )
 
-    return (
+    lazy = (
         left.groupBy("pk")
         .cogroup(right.groupBy("pk"))
         .applyInPandas(gemm, "a_id long, b_id long")
-        .localCheckpoint(eager=True)
     )
+    # materialize=False exposes the lazy plan (for inspection/composition) —
+    # note the count-only pruning hazard above applies to it
+    return lazy.localCheckpoint(eager=True) if materialize else lazy
 
 
 # ------------------------------------------------------------- LSH path
@@ -337,6 +340,7 @@ def cosine_near_dup_pairs_lsh(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """Bucketed cosine near-duplicate pairs — the 100-TB shape.
 
@@ -366,13 +370,15 @@ def cosine_near_dup_pairs_lsh(
     )
     emb_a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("qv"))
     emb_b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("nv"))
-    out = (
+    lazy = (
         cand.join(emb_a, "a_id")
         .join(emb_b, "b_id")
         .where(_cosine_expr() >= threshold)
         .select("a_id", "b_id")
-        .localCheckpoint(eager=True)
     )
+    if not materialize:
+        return lazy
+    out = lazy.localCheckpoint(eager=True)
     sigs.unpersist()
     return out
 

@@ -55,13 +55,32 @@ if __name__ == "__main__":
         grep=("Join", "Exchange"),
         fmt="simple",
     )
+    show(
+        "MinHash LSH pairs (single-pass features)",
+        dedup.minhash_lsh_pairs(docs, 0.8, materialize=False),
+        "ONE MapInArrow pass emits band keys + gram-hash sets; the exact "
+        "verify joins candidate pairs straight back to the cached per-doc "
+        "frame — no second corpus scan, no driver-side step",
+        grep=("Join", "Exchange", "MapInArrow", "InMemory"),
+        fmt="simple",
+    )
     emb = spark.read.parquet(sf + "/embeddings.parquet")
     show(
         "Cosine near-dup (bucketed)",
-        similarity.cosine_near_dup_pairs_lsh(emb, 0.9),
+        similarity.cosine_near_dup_pairs_lsh(emb, 0.9, materialize=False),
         "LSH bucket self-join — candidate generation never broadcasts the "
         "corpus and never goes O(n²)",
         grep=("Join", "Exchange"),
+        fmt="simple",
+    )
+    show(
+        "Cosine exact pairs (block-GEMM, the demonstrated query)",
+        similarity.cosine_near_dup_pairs_blocked(emb, 0.4, materialize=False),
+        "block-pair cogroup: each vector shuffles to B+1 GEMM tasks — the "
+        "whole lineage is scan → explode → two hash exchanges → "
+        "FlatMapCoGroupsInPandas; NO collect, NO BroadcastExchange of the "
+        "corpus anywhere",
+        grep=("Exchange", "CoGroup", "FlatMap", "Scan", "Generate"),
         fmt="simple",
     )
     from cms_topn_spark.operators import ivf
