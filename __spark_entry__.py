@@ -413,6 +413,17 @@ def q_winnow_fingerprints(spark, sf_dir):
     return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_curate_corpus(spark, sf_dir):
+    """Composed curation pipeline (operators/pipeline.py): language gate +
+    alpha-ratio quality gate + dup-token repetition gate fused into one scan,
+    then exact dedup — scan → codegen'd filter/map → ONE uniform-key
+    exchange. The composition itself (not just each operator) sits under the
+    value oracle."""
+    from cms_topn_spark.operators import pipeline
+
+    return pipeline.curate(_t(spark, sf_dir, "documents"))
+
+
 # ----------------------------------------------------- canonical ordering
 #
 # The driver's value-hash compares Spark vs DuckDB outputs; both engines emit
@@ -453,6 +464,7 @@ _ORDER: dict[str, str] = {
     "ann_ivf_topk": "query_id, rank",
     "cosine_near_dup_pairs": "a_id, b_id",
     "winnow_fingerprints": "doc_id, fp",
+    "curate_corpus": "doc_id",
 }
 
 
@@ -533,6 +545,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "curate_corpus": q_curate_corpus,
     }
 
 
@@ -634,4 +647,11 @@ def _raw_oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": dedup.winnow_fingerprints_sql(),
         "simhash_docs": dedup.simhash_sql(),
         "simhash_near_pairs": dedup.simhash_near_pairs_sql(max_hamming=3),
+        "curate_corpus": _pipeline_sql(),
     }
+
+
+def _pipeline_sql() -> str:
+    from cms_topn_spark.operators import pipeline
+
+    return pipeline.curate_sql()

@@ -48,11 +48,14 @@ HEADLINE = [
     "tpch_q1_pricing",
     "top_nations_revenue",
     "minhash_lsh_pairs",
+    "simhash_near_pairs",
     "ann_brute_topk",
     "exact_dedup",
     "lang_id_ngram",
     "winnow_fingerprints",
     "repetition_stats",
+    "cosine_near_dup_pairs",
+    "curate_corpus",
 ]
 
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "9000000"))

@@ -1,0 +1,114 @@
+"""Composed training-data curation pipeline.
+
+The end-to-end shape a pretraining corpus pass takes, assembled from this
+library's operators into ONE declarative Catalyst plan:
+
+    scan → per-row features (language ID, alpha-ratio quality, dup-token
+    repetition — all pure expressions, whole-stage codegen) → gates →
+    exact dedup (groupBy on content, keep min doc_id) → survivors
+
+At 100 TB this executes as scan → fused filter/map → one uniform-key
+exchange (the dedup groupBy) — the optimal shape for a full-corpus pass: the
+quality/language/repetition gates are applied BEFORE the shuffle, so only
+surviving documents move, and the shuffle key (the content itself, or its
+hash for wide rows) is uniformly distributed.
+
+The whole pipeline is SQL-expressible, so the composition — not just the
+individual operators — sits under the DuckDB value-hash oracle
+(:func:`curate_sql`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import lang_pred_expr, lang_pred_sql
+
+# defaults chosen against the synthetic corpus distributions: alpha ratio
+# splits the quality range (observed 0.79-0.85), dup-token splits the
+# repetition range (median ≈ 0.55)
+MIN_ALPHA_FX = 800_000
+MAX_DUP_TOKEN_FX = 550_000
+LANGS = ("en",)
+
+
+def curate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_alpha_fx: int = MIN_ALPHA_FX,
+    max_dup_token_fx: int = MAX_DUP_TOKEN_FX,
+    langs: tuple[str, ...] = LANGS,
+) -> DataFrame:
+    """Gate + dedup a document table; returns surviving documents as
+    (doc_id, pred_lang, n_tokens, copies).
+
+    Feature semantics are IDENTICAL to the standalone operators
+    (textops.quality_score's alpha_ratio_fx, textops.repetition_stats'
+    dup_token_fx, textops.lang_id's pred_lang, dedup.exact_dedup's
+    min-id-per-content rule), so the composed output is exactly what
+    chaining those operators would produce — without their per-operator
+    scans: one pass computes every gate."""
+    tk = f"split({text_col}, ' ')"
+    feats = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        lang_pred_expr(text_col).alias("pred_lang"),
+        F.expr(
+            f"floor(1000000 * length(regexp_replace({text_col}, '[^A-Za-z]', ''))"
+            f" / length({text_col}))"
+        )
+        .cast("long")
+        .alias("alpha_ratio_fx"),
+        F.expr(
+            f"floor(1000000 * (1.0 - size(array_distinct({tk})) / size({tk})))"
+        )
+        .cast("long")
+        .alias("dup_token_fx"),
+        F.expr(f"size({tk})").cast("long").alias("n_tokens"),
+    )
+    kept = feats.where(
+        (F.col("alpha_ratio_fx") >= min_alpha_fx)
+        & (F.col("dup_token_fx") <= max_dup_token_fx)
+        & F.col("pred_lang").isin(list(langs))
+    )
+    return (
+        kept.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min("pred_lang").alias("pred_lang"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.count("*").cast("long").alias("copies"),
+        )
+        .select(id_col, "pred_lang", "n_tokens", "copies")
+    )
+
+
+def curate_sql(
+    table: str = "documents",
+    min_alpha_fx: int = MIN_ALPHA_FX,
+    max_dup_token_fx: int = MAX_DUP_TOKEN_FX,
+    langs: tuple[str, ...] = LANGS,
+) -> str:
+    tk = "string_split(text, ' ')"
+    lang_list = ", ".join(f"'{v}'" for v in langs)
+    return f"""
+    WITH feats AS (
+      SELECT doc_id, text,
+             {lang_pred_sql("text")} AS pred_lang,
+             floor(1000000 * len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / len(text))::BIGINT AS alpha_ratio_fx,
+             floor(1000000 * (1.0 - len(list_distinct({tk}))::DOUBLE / len({tk})))::BIGINT AS dup_token_fx,
+             len({tk})::BIGINT AS n_tokens
+      FROM {table}
+    ),
+    kept AS (
+      SELECT * FROM feats
+      WHERE alpha_ratio_fx >= {min_alpha_fx}
+        AND dup_token_fx <= {max_dup_token_fx}
+        AND pred_lang IN ({lang_list})
+    )
+    SELECT min(doc_id) AS doc_id, min(pred_lang) AS pred_lang,
+           min(n_tokens) AS n_tokens, count(*)::BIGINT AS copies
+    FROM kept GROUP BY text
+    """

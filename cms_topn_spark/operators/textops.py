@@ -59,21 +59,43 @@ def token_stats_sql(table: str = "documents") -> str:
     """
 
 
-def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Stopword-hit language ID with deterministic precedence en>de>fr>es."""
+def lang_pred_expr(text_col: str) -> Column:
+    """The stopword-argmax language prediction as a reusable Column
+    (deterministic precedence en>de>fr>es; zero hits → 'und')."""
     hits = {lang: stopword_hits(text_col, lang) for lang in LANG_PRECEDENCE}
     # the first language (in precedence order) whose hits equal the max wins
     mx = F.greatest(*[hits[lang] for lang in LANG_PRECEDENCE])
-    pred = (
+    return (
         F.when(mx == F.lit(0), F.lit("und"))
         .when(hits["en"] == mx, F.lit("en"))
         .when(hits["de"] == mx, F.lit("de"))
         .when(hits["fr"] == mx, F.lit("fr"))
         .otherwise(F.lit("es"))
     )
+
+
+def lang_pred_sql(text_expr: str = "text") -> str:
+    """The SQL rendering of :func:`lang_pred_expr` (a CASE fragment)."""
+    h = {
+        lang: f"len(list_filter(string_split({text_expr},' '), t -> t IN ({_in_list(STOPWORDS[lang])})))"
+        for lang in LANG_PRECEDENCE
+    }
+    mx = f"greatest({h['en']}, {h['de']}, {h['fr']}, {h['es']})"
+    return (
+        f"CASE WHEN {mx} = 0 THEN 'und' "
+        f"WHEN {h['en']} = {mx} THEN 'en' "
+        f"WHEN {h['de']} = {mx} THEN 'de' "
+        f"WHEN {h['fr']} = {mx} THEN 'fr' "
+        f"ELSE 'es' END"
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID with deterministic precedence en>de>fr>es."""
+    hits = {lang: stopword_hits(text_col, lang) for lang in LANG_PRECEDENCE}
     return df.select(
         F.col(id_col),
-        pred.alias("pred_lang"),
+        lang_pred_expr(text_col).alias("pred_lang"),
         *[hits[lang].cast("long").alias(f"hits_{lang}") for lang in LANG_PRECEDENCE],
     )
 

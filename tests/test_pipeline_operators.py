@@ -368,6 +368,37 @@ class TestSimilarity:
         assert got == exact  # identical vectors: recall is deterministic
 
 
+class TestCuratePipeline:
+    def test_curate_matches_oracle_and_composition(self, docs, con):
+        """The composed pipeline equals its SQL oracle AND equals manually
+        chaining the standalone operators (same gates, same dedup rule)."""
+        from cms_topn_spark.operators import dedup, pipeline, textops
+
+        compare(pipeline.curate(docs), con, pipeline.curate_sql())
+        got = {
+            (r["doc_id"], r["pred_lang"], r["n_tokens"], r["copies"])
+            for r in pipeline.curate(docs).collect()
+        }
+        # manual chain: features from standalone operators, joined by doc_id
+        q = {r["doc_id"]: r["alpha_ratio_fx"] for r in textops.quality_score(docs).collect()}
+        rep = {r["doc_id"]: r["dup_token_fx"] for r in textops.repetition_stats(docs).collect()}
+        lang = {r["doc_id"]: r["pred_lang"] for r in textops.lang_id(docs).collect()}
+        keep_ids = {
+            d
+            for d in q
+            if q[d] >= pipeline.MIN_ALPHA_FX
+            and rep[d] <= pipeline.MAX_DUP_TOKEN_FX
+            and lang[d] in pipeline.LANGS
+        }
+        kept_docs = docs.where(docs.doc_id.isin(list(keep_ids)))
+        manual = {
+            (r["doc_id"], lang[r["doc_id"]])
+            for r in dedup.exact_dedup(kept_docs).collect()
+        }
+        assert {(d, l) for d, l, _, _ in got} == manual
+        assert got, "gates should not eliminate the whole corpus"
+
+
 class TestLangIdNgram:
     def test_lang_id_ngram(self, docs, con):
         from cms_topn_spark.operators import textops
