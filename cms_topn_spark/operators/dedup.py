@@ -16,8 +16,10 @@ Four families, each with the partitioning/shuffle story a 100 TB corpus needs:
 - **SimHash**: 64-bit signature; near-dups = signatures at Hamming distance
   ≤ k found by pigeonhole banding of the signature.
 
-Shingle hashing uses the library's Murmur3 kernel; minhash permutations are
-splitmix64-derived affine maps — everything deterministic, no RNG state.
+Minhash shingle hashing uses the library's Murmur3 kernel with
+splitmix64-derived affine permutations; SimHash and winnowing hash the packed
+8-byte gram word with splitmix64 (SQL-renderable, so their whole schemes have
+bit-exact DuckDB oracles) — everything deterministic, no RNG state.
 """
 
 from __future__ import annotations
