@@ -73,8 +73,11 @@ def curate(
         & (F.col("dup_token_fx") <= max_dup_token_fx)
         & F.col("pred_lang").isin(list(langs))
     )
+    # dedup on md5(content) so the one exchange moves digests + per-doc
+    # features, never the document text (see dedup.exact_dedup)
     return (
-        kept.groupBy(text_col)
+        kept.select(F.md5(F.col(text_col)).alias("_k"), id_col, "pred_lang", "n_tokens")
+        .groupBy("_k")
         .agg(
             F.min(id_col).alias(id_col),
             F.min("pred_lang").alias("pred_lang"),
