@@ -106,6 +106,16 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float, id_col: str) -> Data
     )
 
 
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, g): one row per DISTINCT char-k-gram, with g = xxhash64 of
+    the gram — the inverted-index join/groupBy keys shuffle as 8-byte longs,
+    never strings (identical set semantics up to 64-bit collisions,
+    ~Σdf(g)²/2⁶⁴ ≈ 0 at any corpus size)."""
+    return df.select(
+        F.col(id_col), F.explode(shingle_expr(text_col)).alias("_s")
+    ).select(F.col(id_col), F.xxhash64("_s").alias("g"))
+
+
 def jaccard_pairs_exact(
     df: DataFrame, threshold: float = 0.8, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -114,8 +124,7 @@ def jaccard_pairs_exact(
     Scale note: the self-join fan-out is Σ df(g)² over shingle document
     frequencies — fine while no shingle is ubiquitous, quadratic where one is.
     At 100 TB use :func:`jaccard_pairs_pruned`, which bounds df(g) first."""
-    sh = df.select(F.col(id_col), F.explode(shingle_expr(text_col)).alias("g"))
-    return _jaccard_from_shingles(sh, threshold, id_col)
+    return _jaccard_from_shingles(_shingle_rows(df, id_col, text_col), threshold, id_col)
 
 
 def jaccard_pairs_pruned(
@@ -140,7 +149,7 @@ def jaccard_pairs_pruned(
     The df computation is one extra groupBy on the same uniformly-distributed
     key the join shuffles on; documents left with zero surviving shingles drop
     out of the pair search entirely (they can only pair at similarity 0)."""
-    sh = df.select(F.col(id_col), F.explode(shingle_expr(text_col)).alias("g"))
+    sh = _shingle_rows(df, id_col, text_col)
     # shingle_expr emits DISTINCT shingles per doc ⇒ count(*) per g == df(g)
     rare = (
         sh.groupBy("g")
