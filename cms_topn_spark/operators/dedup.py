@@ -572,21 +572,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             pdf = rb.to_pandas()
             if len(pdf) == 0:
                 continue
-            d_u, k_u, n = _doc_gram_words(pdf[text_col])
-            h = _splitmix64(k_u.view(np.int64))
-            # per-doc bit votes: ±1 per gram per bit, segment-summed
-            # (reduceat); bit-major chunks keep temps small on this box
-            seg_starts = np.flatnonzero(np.concatenate(([True], d_u[1:] != d_u[:-1])))
-            doc_votes = np.empty((len(seg_starts), 64), dtype=np.int64)
-            for b0 in range(0, 64, 8):
-                shifts = np.arange(b0, b0 + 8, dtype=U64)
-                bits = ((h[None, :] >> shifts[:, None]) & U64(1)).astype(np.int32)
-                votes = 2 * bits - 1
-                doc_votes[:, b0 : b0 + 8] = np.add.reduceat(votes, seg_starts, axis=1).T
-            sig_bits = (doc_votes > 0).astype(np.uint64)
-            sigs64 = (sig_bits << np.arange(64, dtype=U64)[None, :]).sum(axis=1, dtype=U64)
-            sigs = np.zeros(n, dtype=np.int64)
-            sigs[d_u[seg_starts]] = sigs64.astype(np.int64)
+            sigs = _simhash_kernel(pdf[text_col])
             yield pa.RecordBatch.from_pydict(
                 {
                     "doc_id": pa.array(pdf[id_col].to_numpy(), pa.int64()),
@@ -595,6 +581,27 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             )
 
     return df.select(id_col, text_col).mapInArrow(fn, "doc_id long, simhash long")
+
+
+def _simhash_kernel(texts) -> np.ndarray:
+    """Batch SimHash: texts → int64 signatures (the worker kernel,
+    Spark-free for property testing against the SQL oracle)."""
+    d_u, k_u, n = _doc_gram_words(texts)
+    h = _splitmix64(k_u.view(np.int64))
+    # per-doc bit votes: ±1 per gram per bit, segment-summed (reduceat);
+    # bit-major chunks keep temps small on this box
+    seg_starts = np.flatnonzero(np.concatenate(([True], d_u[1:] != d_u[:-1])))
+    doc_votes = np.empty((len(seg_starts), 64), dtype=np.int64)
+    for b0 in range(0, 64, 8):
+        shifts = np.arange(b0, b0 + 8, dtype=U64)
+        bits = ((h[None, :] >> shifts[:, None]) & U64(1)).astype(np.int32)
+        votes = 2 * bits - 1
+        doc_votes[:, b0 : b0 + 8] = np.add.reduceat(votes, seg_starts, axis=1).T
+    sig_bits = (doc_votes > 0).astype(np.uint64)
+    sigs64 = (sig_bits << np.arange(64, dtype=U64)[None, :]).sum(axis=1, dtype=U64)
+    sigs = np.zeros(n, dtype=np.int64)
+    sigs[d_u[seg_starts]] = sigs64.astype(np.int64)
+    return sigs
 
 
 def simhash_sql(table: str = "documents", k: int = SHINGLE_K) -> str:

@@ -163,3 +163,59 @@ def test_bloom_no_false_negatives(vals):
         bf.add_batch(vals, type_tag=enc.TYPE_INT64)
     for v in vals[:50]:
         assert bf.contains(v)
+
+
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+@given(texts=st.lists(_ASCII, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_simhash_kernel_matches_sql_oracle(texts):
+    """The numpy SimHash kernel and the DuckDB SQL rendering agree bit-for-bit
+    on arbitrary printable-ASCII documents (any length, incl. empty/sub-gram).
+    ASCII is the documented contract: the SQL form indexes characters, the
+    kernel indexes UTF-8 bytes — they coincide exactly on ASCII."""
+    import duckdb
+    import pandas as pd
+
+    from cms_topn_spark.operators.dedup import _simhash_kernel, simhash_sql
+
+    got = _simhash_kernel(pd.Series(texts)).tolist()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", list(enumerate(texts)))
+    want = dict(con.execute(simhash_sql("d")).fetchall())
+    assert got == [want[i] for i in range(len(texts))]
+
+
+@given(texts=st.lists(_ASCII, min_size=1, max_size=6), k=st.integers(2, 6))
+@settings(**SETTINGS)
+def test_winnow_selection_matches_sql_oracle(texts, k):
+    """Winnowing's window-min selection vs its SQL rendering, over arbitrary
+    ASCII docs and window sizes (the committed oracle uses window=4; the
+    scheme must agree for any window)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from cms_topn_spark.operators.dedup import SHINGLE_K, winnow_fingerprints_sql
+    from cms_topn_spark.sources.webpages import _splitmix64
+
+    got = set()
+    for i, t in enumerate(texts):
+        n = max(len(t) - SHINGLE_K + 1, 1)
+        b = np.frombuffer(t.encode().ljust(n + SHINGLE_K - 1, b"\0"), np.uint8)
+        win = np.lib.stride_tricks.sliding_window_view(b, SHINGLE_K)[:n]
+        h = _splitmix64(np.ascontiguousarray(win).view("<u8").ravel().astype(np.int64))
+        if len(h) >= k:
+            mins = np.min(np.lib.stride_tricks.sliding_window_view(h, k), axis=1)
+        else:
+            mins = np.array([h.min()], dtype=np.uint64)
+        got |= {(i, int(f)) for f in np.unique(mins).astype(np.int64)}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", list(enumerate(texts)))
+    want = {tuple(r) for r in con.execute(winnow_fingerprints_sql("d", window=k)).fetchall()}
+    assert got == want

@@ -83,6 +83,17 @@ if __name__ == "__main__":
         grep=("Exchange", "CoGroup", "FlatMap", "Scan", "Generate"),
         fmt="simple",
     )
+    from cms_topn_spark.operators import pipeline
+
+    show(
+        "Curation pipeline (composed)",
+        pipeline.curate(docs),
+        "lang + quality + repetition gates fused into the scan projection; "
+        "ONE exchange total (the md5-key dedup groupBy) — filters run before "
+        "the shuffle, and the exchange carries digests + features, never text",
+        grep=("Exchange", "Scan", "HashAggregate", "Project", "Filter"),
+        fmt="simple",
+    )
     from cms_topn_spark.operators import ivf
 
     show(
