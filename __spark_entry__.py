@@ -307,6 +307,12 @@ def q_doc_fingerprints(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 salient terms by df-normalized term frequency (linear
+    idf — deterministic across engines; see textops.tfidf_top_terms)."""
+    return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -453,6 +459,7 @@ _ORDER: dict[str, str] = {
     "quality_score": "doc_id",
     "repetition_stats": "doc_id",
     "doc_fingerprints": "doc_id",
+    "tfidf_top_terms": "doc_id, rank",
     "exact_dedup": "doc_id",
     "jaccard_pairs": "a_id, b_id",
     "jaccard_pairs_pruned": "a_id, b_id",
@@ -534,6 +541,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
         "doc_fingerprints": q_doc_fingerprints,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
@@ -630,6 +638,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "quality_score": textops.quality_score_sql(),
         "repetition_stats": textops.repetition_stats_sql(),
         "doc_fingerprints": textops.fingerprints_sql(),
+        "tfidf_top_terms": textops.tfidf_top_terms_sql(k=3),
         "exact_dedup": dedup.exact_dedup_sql(),
         "jaccard_pairs": jaccard,
         "jaccard_pairs_pruned": dedup.jaccard_pairs_pruned_sql(

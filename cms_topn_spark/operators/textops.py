@@ -280,6 +280,67 @@ def repetition_stats_sql(table: str = "documents") -> str:
     """
 
 
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k salient terms by tf·idf with **linear idf**
+    (idf = 1/df): score = tf / df, ties broken by term ascending. Output
+    (doc_id, term, tf, df, rank).
+
+    Why 1/df instead of log-idf: the ranking stays monotone-decreasing in
+    document frequency (the property that surfaces rare terms), while the
+    score is ONE correctly-rounded IEEE division of two integers — bit-
+    identical between Spark and DuckDB, where `ln` can differ in the last
+    ulp across libm implementations and flip ranks at ties. Determinism is
+    what puts this operator under the value oracle.
+
+    Plan shape: tokenize → groupBy (doc, term) for tf (uniform composite
+    key) → groupBy term for df (uniform; tf rows are already distinct per
+    doc-term, so count(*) = document frequency) → join scores back on term
+    (vocabulary-sized side — AQE broadcasts it when it fits, shuffle-joins
+    otherwise) → per-doc window top-k. Every shuffle key is uniformly
+    distributed; nothing is corpus-broadcast or driver-side."""
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def tfidf_top_terms_sql(table: str = "documents", k: int = 3) -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             tf.tf::DOUBLE / dfreq.df AS score
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, tf, df, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 of the exact text bytes."""
     return df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))

@@ -65,6 +65,36 @@ class TestTextOps:
 
         compare(textops.fingerprints(docs), con, textops.fingerprints_sql())
 
+    def test_tfidf_top_terms(self, docs, con, spark):
+        import duckdb
+
+        from cms_topn_spark.operators import textops
+
+        compare(textops.tfidf_top_terms(docs, k=3), con, textops.tfidf_top_terms_sql(k=3))
+        # hand-checkable micro corpus: 'rare' appears in one doc, 'the' in all
+        rows = [
+            (1, "the cat sat rare"),
+            (2, "the cat ran"),
+            (3, "the dog ran ran"),
+        ]
+        edge = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+            for r in textops.tfidf_top_terms(edge, k=2).collect()
+        }
+        # doc 1: rare and sat both df=1 -> tie at 1.0 -> 'rare' < 'sat'
+        assert got[(1, 1)] == ("rare", 1, 1) and got[(1, 2)] == ("sat", 1, 1)
+        # doc 3: ran tf=2 df=2 -> 1.0 beats dog 1/1=1.0 tie -> 'dog' < 'ran'
+        assert got[(3, 1)] == ("dog", 1, 1) and got[(3, 2)] == ("ran", 2, 2)
+        c = duckdb.connect()
+        c.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        c.executemany("INSERT INTO d VALUES (?, ?)", rows)
+        oracle = {
+            (r[0], r[4]): (r[1], r[2], r[3])
+            for r in c.execute(textops.tfidf_top_terms_sql("d", k=2)).fetchall()
+        }
+        assert got == oracle
+
     def test_repetition_stats(self, docs, con, spark):
         import duckdb
 
