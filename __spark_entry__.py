@@ -125,6 +125,25 @@ def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven pipeline gating — the two-pass shape a 100-TB curation
+    run uses for distribution-based filters: pass 1 folds a KLL sketch over
+    per-doc token counts (mergeable partials, no global sort — an exact
+    percentile would shuffle the whole corpus), pass 2 gates the corpus to
+    the interquartile range read off the sketch. Run in KLL's exact regime
+    (k > n) so the driver oracle is quantile_cont; at scale the same code
+    with default k trades the gate thresholds' exactness for O(k) state."""
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("n_tokens")
+    )
+    sk = kll_add_agg(lens, "n_tokens", k=1 << 21)
+    lo, hi = (float(x) for x in sk.quantiles([0.25, 0.75]))
+    return docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens").between(F.lit(lo), F.lit(hi)))
+
+
 def q_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = kll_add_agg(_t(spark, sf_dir, "lineitem"), "l_extendedprice", k=1 << 21)
     qs = k.quantiles([0.25, 0.5, 0.75, 0.9])
@@ -446,6 +465,7 @@ _ORDER: dict[str, str] = {
     "hll_distinct_parts": "distinct_parts",
     "hll_users_by_type": "event_type",
     "kll_price_quantiles": "q25",
+    "kll_length_gate": "doc_id",
     "tdigest_median_by_type": "event_type",
     "bloom_customer_semijoin": "matched_customers",
     "mms_user_masks": "user_id",
@@ -528,6 +548,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_parts": q_hll_distinct_parts,
         "hll_users_by_type": q_hll_users_by_type,
         "kll_price_quantiles": q_kll_price_quantiles,
+        "kll_length_gate": q_kll_length_gate,
         "tdigest_median_by_type": q_tdigest_median_by_type,
         "bloom_customer_semijoin": q_bloom_customer_semijoin,
         "mms_user_masks": q_mms_user_masks,
@@ -587,6 +608,19 @@ def _raw_oracle_sql() -> dict[str, str]:
         "hll_users_by_type": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_users
             FROM events GROUP BY event_type
+        """,
+        "kll_length_gate": """
+            WITH lens AS (
+              SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents
+            ),
+            q AS (
+              SELECT quantile_cont(n_tokens, 0.25) AS lo,
+                     quantile_cont(n_tokens, 0.75) AS hi
+              FROM lens
+            )
+            SELECT doc_id, n_tokens FROM lens, q
+            WHERE n_tokens BETWEEN lo AND hi
         """,
         "kll_price_quantiles": """
             SELECT quantile_cont(l_extendedprice, 0.25) AS q25,

@@ -56,6 +56,8 @@ HEADLINE = [
     "repetition_stats",
     "cosine_near_dup_pairs",
     "curate_corpus",
+    "tfidf_top_terms",
+    "kll_length_gate",
 ]
 
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "9000000"))
