@@ -438,6 +438,26 @@ def q_winnow_fingerprints(spark, sf_dir):
     return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+SAMPLE_FRACTIONS = {"en": 0.4, "und": 1.0}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum corpus sampling (operators/pipeline.py):
+    keep 40 % of the dominant language and 100 % of the rare stratum — the
+    corpus-rebalancing move — via an md5-prefix hash whose DECISION is
+    bit-identical in Spark and DuckDB. Pure map: no shuffle, no RNG state."""
+    from cms_topn_spark.operators import pipeline
+    from cms_topn_spark.operators.textops import lang_pred_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id", F.col("text"), lang_pred_expr("text").alias("pred_lang")
+    )
+    return pipeline.stratified_sample(
+        labeled, SAMPLE_FRACTIONS, "pred_lang"
+    ).select("doc_id", "pred_lang")
+
+
 def q_curate_corpus(spark, sf_dir):
     """Composed curation pipeline (operators/pipeline.py): language gate +
     alpha-ratio quality gate + dup-token repetition gate fused into one scan,
@@ -492,6 +512,7 @@ _ORDER: dict[str, str] = {
     "cosine_near_dup_pairs": "a_id, b_id",
     "winnow_fingerprints": "doc_id, fp",
     "curate_corpus": "doc_id",
+    "stratified_sample": "doc_id",
 }
 
 
@@ -575,6 +596,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "curate_corpus": q_curate_corpus,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -691,6 +713,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "simhash_docs": dedup.simhash_sql(),
         "simhash_near_pairs": dedup.simhash_near_pairs_sql(max_hamming=3),
         "curate_corpus": _pipeline_sql(),
+        "stratified_sample": _stratified_sample_sql(),
     }
 
 
@@ -698,3 +721,16 @@ def _pipeline_sql() -> str:
     from cms_topn_spark.operators import pipeline
 
     return pipeline.curate_sql()
+
+
+def _stratified_sample_sql() -> str:
+    from cms_topn_spark.operators import pipeline
+    from cms_topn_spark.operators.textops import lang_pred_sql
+
+    inner = pipeline.stratified_sample_sql("labeled", SAMPLE_FRACTIONS, "pred_lang")
+    return f"""
+    WITH labeled AS (
+      SELECT doc_id, text, {lang_pred_sql("text")} AS pred_lang FROM documents
+    )
+    SELECT doc_id, pred_lang FROM ({inner})
+    """

@@ -88,6 +88,80 @@ def curate(
     )
 
 
+def _sample_hash_expr(key_col: str, salt: int) -> F.Column:
+    """60-bit uniform hash of a key, identical in Spark and DuckDB: the first
+    15 hex chars of md5(key || '|' || salt) parsed as an integer. md5 is the
+    one hash both engines expose with identical semantics, so the sampling
+    DECISION — not just the rate — is reproducible cross-engine."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(str(salt)))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _sample_hash_sql(key_col: str, salt: int) -> str:
+    return (
+        f"('0x' || substring(md5({key_col}::VARCHAR || '|' || '{salt}'), 1, 15))::UBIGINT"
+    )
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: int = 0
+) -> DataFrame:
+    """Deterministic corpus sampling: keep rows whose key hash falls below
+    fraction·2⁶⁰. The standard way to cut a training corpus to a budget at
+    100 TB: reproducible across runs and engines (no RNG state to seed or
+    ship), uniform regardless of key skew, and a PURE MAP — no shuffle, no
+    sort, embarrassingly parallel, pushable below column-pruned scans."""
+    threshold = int(fraction * (1 << 60))
+    return df.where(_sample_hash_expr(key_col, salt) < F.lit(threshold))
+
+
+def hash_sample_sql(
+    table: str, fraction: float, key_col: str = "doc_id", salt: int = 0
+) -> str:
+    threshold = int(fraction * (1 << 60))
+    return f"SELECT * FROM {table} WHERE {_sample_hash_sql(key_col, salt)} < {threshold}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    stratum_col: str,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. keep 100 % of a rare language
+    and 10 % of the dominant one — the standard corpus-rebalancing move).
+    Strata not named in ``fractions`` are dropped. Same hash rule as
+    :func:`hash_sample`, so it stays a pure shuffle-free map."""
+    thr = None
+    for stratum, frac in fractions.items():
+        cond = F.col(stratum_col) == F.lit(stratum)
+        val = F.lit(int(frac * (1 << 60)))
+        thr = F.when(cond, val) if thr is None else thr.when(cond, val)
+    thr = thr.otherwise(F.lit(0))
+    return df.where(_sample_hash_expr(key_col, salt) < thr)
+
+
+def stratified_sample_sql(
+    table: str, fractions: dict, stratum_col: str, key_col: str = "doc_id", salt: int = 0
+) -> str:
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN {int(f * (1 << 60))}"
+        for s, f in fractions.items()
+    )
+    return (
+        f"SELECT * FROM {table} WHERE {_sample_hash_sql(key_col, salt)}"
+        f" < (CASE {cases} ELSE 0 END)"
+    )
+
+
 def curate_sql(
     table: str = "documents",
     min_alpha_fx: int = MIN_ALPHA_FX,

@@ -429,6 +429,44 @@ class TestCuratePipeline:
         assert got, "gates should not eliminate the whole corpus"
 
 
+    def test_hash_sample_deterministic_and_engine_exact(self, docs, con):
+        from cms_topn_spark.operators import pipeline
+
+        a = {r["doc_id"] for r in pipeline.hash_sample(docs, 0.3).collect()}
+        b = {r["doc_id"] for r in pipeline.hash_sample(docs.repartition(7), 0.3).collect()}
+        assert a == b  # partitioning-invariant, no RNG state
+        # rate lands near the target (60-bit uniform hash)
+        assert 0.2 <= len(a) / docs.count() <= 0.4
+        # different salt = different (but still deterministic) sample
+        c = {r["doc_id"] for r in pipeline.hash_sample(docs, 0.3, salt=1).collect()}
+        assert c != a
+        # the DECISION matches DuckDB row-for-row
+        want = {
+            r[0]
+            for r in con.execute(
+                pipeline.hash_sample_sql("documents", 0.3)
+            ).fetchall()
+        }
+        assert a == {d for d in a if d in want} and want == a
+
+    def test_stratified_sample_rates_and_missing_strata(self, spark, con):
+        from cms_topn_spark.operators import pipeline
+
+        rows = [(i, "en" if i % 4 else "rare") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, stratum string")
+        got = pipeline.stratified_sample(
+            df, {"en": 0.5, "rare": 1.0}, "stratum"
+        ).collect()
+        by = {}
+        for r in got:
+            by.setdefault(r["stratum"], set()).add(r["doc_id"])
+        assert len(by["rare"]) == 500  # fraction 1.0 keeps every rare row
+        assert 0.4 <= len(by["en"]) / 1500 <= 0.6
+        # strata without a configured fraction are dropped
+        got2 = pipeline.stratified_sample(df, {"rare": 1.0}, "stratum").collect()
+        assert {r["stratum"] for r in got2} == {"rare"}
+
+
 class TestLangIdNgram:
     def test_lang_id_ngram(self, docs, con):
         from cms_topn_spark.operators import textops
