@@ -356,6 +356,16 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: MinHash-LSH near-dup pairs → connected
+    components via iterative min-label propagation (dedup.duplicate_clusters)
+    — the keep/drop decision step after pair generation. Oracle: recursive-
+    CTE transitive closure over the shared exact-Jaccard pair oracle."""
+    return dedup.duplicate_clusters(
+        dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    )
+
+
 def q_simhash_docs(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
@@ -504,6 +514,7 @@ _ORDER: dict[str, str] = {
     "jaccard_pairs": "a_id, b_id",
     "jaccard_pairs_pruned": "a_id, b_id",
     "minhash_lsh_pairs": "a_id, b_id",
+    "dup_clusters": "doc_id",
     "simhash_docs": "doc_id",
     "simhash_near_pairs": "a_id, b_id",
     "ann_brute_topk": "query_id, rank",
@@ -588,6 +599,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dup_clusters": q_dup_clusters,
         "simhash_docs": q_simhash_docs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -701,6 +713,7 @@ def _raw_oracle_sql() -> dict[str, str]:
             "documents", 0.8, JACCARD_MAX_DF
         ),
         "minhash_lsh_pairs": jaccard,
+        "dup_clusters": dedup.duplicate_clusters_sql(jaccard),
         "ann_brute_topk": similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=5),
         # multi-probe h=3 ⇒ recall 1.0 (measured both SFs) ⇒ equals brute force
         "ann_lsh_topk": similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=5),

@@ -442,6 +442,84 @@ def minhash_lsh_pairs(
     return out
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Near-dup pairs (a_id, b_id) → duplicate clusters (doc_id, rep_id):
+    connected components of the pair graph, each doc labeled with the minimum
+    doc id of its component — the DECISION step every dedup pipeline runs
+    after pair generation (keep rep_id, drop the rest).
+
+    Iterative min-label propagation (the standard distributed CC algorithm):
+    every node starts labeled with itself; each round takes the min of its
+    own and its neighbors' labels; converges in O(component diameter) rounds.
+    Each round is one uniform-key join + groupBy over the EDGE set — at
+    100 TB the edge set is the dedup pair list (≪ corpus), so rounds are
+    cheap, and near-dup components are shallow (dup clusters are
+    quasi-cliques, diameter 1-3) so few rounds run. min() is commutative/
+    associative/idempotent ⇒ the fixpoint is deterministic regardless of
+    execution order. Only docs appearing in some pair are returned
+    (singletons are trivially their own representative)."""
+    fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nb = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new = (
+            labels.join(nb, labels.node == nb.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("rep_id")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
+    return out
+
+
+def duplicate_clusters_sql(pairs_sql: str) -> str:
+    """Recursive-CTE oracle for :func:`duplicate_clusters`: full transitive
+    closure of the (undirected) pair graph, then min reachable id per node.
+    O(V·E) — fine at oracle scale; the operator's label propagation is the
+    distributed form being checked."""
+    return f"""
+    WITH RECURSIVE pair_edges AS ({pairs_sql}),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pair_edges
+      UNION
+      SELECT b_id AS src, a_id AS dst FROM pair_edges
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS rep_id FROM reach GROUP BY node
+    """
+
+
 # ------------------------------------------------------------- winnowing
 
 

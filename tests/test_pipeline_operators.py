@@ -225,6 +225,32 @@ class TestDedup:
         )
         assert np.array_equal(got, expect)
 
+    def test_duplicate_clusters_chain_and_oracle(self, docs, con, spark):
+        """Multi-hop chains need >1 propagation round; labels must reach the
+        component minimum transitively, and the corpus query must match the
+        recursive-CTE oracle."""
+        import duckdb
+
+        from cms_topn_spark.operators import dedup
+
+        # chain 1-2-3-4, separate pair (10,11), star 20-(21,22)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+            "a_id long, b_id long",
+        )
+        got = {(r["doc_id"], r["rep_id"]) for r in dedup.duplicate_clusters(pairs).collect()}
+        assert got == {
+            (1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20),
+        }
+        # corpus-scale parity vs the recursive-CTE oracle
+        compare(
+            dedup.duplicate_clusters(dedup.minhash_lsh_pairs(docs, 0.8)),
+            con,
+            dedup.duplicate_clusters_sql(dedup.jaccard_pairs_sql()),
+        )
+
     def test_simhash_matches_sql_oracle(self, docs, con, spark):
         """The whole SimHash scheme (NUL-padded packed grams → splitmix64 →
         ±1 bit votes → sign bits) recomputed bit-exactly in DuckDB, plus the
