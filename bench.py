@@ -265,6 +265,13 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
     res["efficiency_median"] = round(eff_median, 3)
     res["reps_fixed"] = True
     res["reps"] = len(walls[lo])
+    # contention-corrected supplement: wall ratio × cpu ratio. Identical work
+    # should cost identical CPU seconds at both levels; when co-tenant load
+    # inflates the high level's CPU (cpu_parity > 1), the same factor
+    # inflates its wall, so multiplying it back out estimates the unloaded
+    # machine's efficiency. Derived statistic, disclosed — never the headline.
+    cpu_par = (best_cpu[hi] / best_cpu[lo]) if best_cpu[lo] else 1.0
+    res["efficiency_cpu_adjusted"] = round(min(eff_best * cpu_par, 1.0), 3)
     # cpu_parity: total CPU seconds hi vs lo on the best runs — ≈1.0 means the
     # engine did the same work and any wall gap is contention, not the plan
     res["cpu_parity"] = round(best_cpu[hi] / best_cpu[lo], 3) if best_cpu[lo] else None
@@ -343,6 +350,7 @@ def main() -> None:
                     # median-based efficiency: the conservative fixed-protocol
                     # statistic alongside the best-of headline
                     "efficiency_median": scaling_28["efficiency_median"],
+                    "efficiency_cpu_adjusted": scaling_28["efficiency_cpu_adjusted"],
                     "reps_fixed": scaling_28["reps_fixed"],
                     "reps": scaling_28["reps"],
                     # cpu_parity = CPU-seconds(local8)/CPU-seconds(local2) on
