@@ -8,11 +8,13 @@ are configured in their exactness regimes (collision-free CMS width,
 sparse-exact HLL, uncompacted KLL/t-digest) so the comparison is equality,
 per SURVEY.md §5.2(3).
 
-Every query is oracle-checked (30/30), including winnow_fingerprints and
+Every query is oracle-checked (37/37), including winnow_fingerprints and
 simhash_docs/simhash_near_pairs (their full hash schemes — splitmix64 via
-HUGEINT modular multiplies — recomputed bit-exactly in DuckDB SQL) and
+HUGEINT modular multiplies — recomputed bit-exactly in DuckDB SQL),
 ann_lsh_topk (run in its explicitly-labeled full-probe exactness regime, so
-brute force is its oracle by construction).
+brute force is its oracle by construction), a streaming batch-equivalence
+gate, iterative connected-components dedup resolution (recursive-CTE
+oracle), and the sketch-driven gates (KLL length IQR, CMS vocabulary).
 """
 
 from __future__ import annotations
@@ -448,6 +450,28 @@ def q_winnow_fingerprints(spark, sf_dir):
     return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_cms_vocab_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven vocabulary gating — the CMS used INSIDE a pipeline
+    transform: pass 1 folds the corpus token stream into one CMS (mergeable
+    partials; at 100 TB this replaces a vocabulary-sized exact count table),
+    pass 2 probes every token's corpus frequency through the vectorized
+    frequency_udf and reports per-doc rare-token counts (the OOV/noise signal
+    quality filters threshold on). Run in the collision-negligible width
+    (ε=2e-5 ⇒ w=135915 ≫ vocabulary) so the exact GROUP-BY oracle applies."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    sk = cms_topn_add_agg(toks, "tok", n=5, e=0.00002)
+    probe = frequency_udf(sk.to_bytes())
+    return (
+        toks.withColumn("freq", probe(F.col("tok")))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum((F.col("freq") < 10).cast("long")).alias("n_rare_tokens"),
+        )
+    )
+
+
 SAMPLE_FRACTIONS = {"en": 0.4, "und": 1.0}
 
 
@@ -500,6 +524,7 @@ _ORDER: dict[str, str] = {
     "bloom_customer_semijoin": "matched_customers",
     "mms_user_masks": "user_id",
     "stream_event_type_counts": "frequency DESC, item",
+    "cms_vocab_gate": "doc_id",
     "grouped_user_freq": "event_type, user_id",
     "tpch_q1_pricing": "l_returnflag, l_linestatus",
     "top_nations_revenue": "n_name",
@@ -585,6 +610,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_customer_semijoin": q_bloom_customer_semijoin,
         "mms_user_masks": q_mms_user_masks,
         "stream_event_type_counts": q_stream_event_type_counts,
+        "cms_vocab_gate": q_cms_vocab_gate,
         "grouped_user_freq": q_grouped_user_freq,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "top_nations_revenue": q_top_nations_revenue,
@@ -678,6 +704,15 @@ def _raw_oracle_sql() -> dict[str, str]:
         "stream_event_type_counts": """
             SELECT event_type AS item, count(*)::BIGINT AS frequency
             FROM events GROUP BY event_type ORDER BY frequency DESC LIMIT 5
+        """,
+        "cms_vocab_gate": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+            ),
+            tf AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(CASE WHEN tf.c < 10 THEN 1 ELSE 0 END)::BIGINT AS n_rare_tokens
+            FROM tok JOIN tf USING (t) GROUP BY doc_id
         """,
         "grouped_user_freq": """
             SELECT event_type, user_id, count(*)::BIGINT AS frequency
