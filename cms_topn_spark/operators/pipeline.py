@@ -140,6 +140,8 @@ def stratified_sample(
     and 10 % of the dominant one — the standard corpus-rebalancing move).
     Strata not named in ``fractions`` are dropped. Same hash rule as
     :func:`hash_sample`, so it stays a pure shuffle-free map."""
+    if not fractions:
+        raise ValueError("stratified_sample requires at least one stratum fraction")
     thr = None
     for stratum, frac in fractions.items():
         cond = F.col(stratum_col) == F.lit(stratum)

@@ -491,6 +491,16 @@ class TestCuratePipeline:
         # strata without a configured fraction are dropped
         got2 = pipeline.stratified_sample(df, {"rare": 1.0}, "stratum").collect()
         assert {r["stratum"] for r in got2} == {"rare"}
+        with pytest.raises(ValueError, match="at least one stratum"):
+            pipeline.stratified_sample(df, {}, "stratum")
+
+    def test_probe_masks_full_probe_guard(self):
+        from cms_topn_spark.operators import similarity
+
+        # full-probe is only allowed at small n_planes (the oracle regime)
+        assert len(similarity.probe_masks(8, 8)) == 256
+        with pytest.raises(ValueError, match="full-probe"):
+            similarity.probe_masks(16, 16)
 
 
 class TestLangIdNgram:
