@@ -270,6 +270,16 @@ def q_grouped_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- relational
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions.py): lag + running-sum
+    windows over user_id, session agg without a second exchange (grouping
+    keys are clustered by the window's hash partitioning). Microsecond-exact
+    boundaries keep the oracle bit-identical."""
+    from cms_topn_spark.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
 def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -526,6 +536,7 @@ _ORDER: dict[str, str] = {
     "stream_event_type_counts": "frequency DESC, item",
     "cms_vocab_gate": "doc_id",
     "grouped_user_freq": "event_type, user_id",
+    "user_sessions": "user_id, session_id",
     "tpch_q1_pricing": "l_returnflag, l_linestatus",
     "top_nations_revenue": "n_name",
     "token_stats": "doc_id",
@@ -612,6 +623,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_event_type_counts": q_stream_event_type_counts,
         "cms_vocab_gate": q_cms_vocab_gate,
         "grouped_user_freq": q_grouped_user_freq,
+        "user_sessions": q_user_sessions,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "top_nations_revenue": q_top_nations_revenue,
         "token_stats": q_token_stats,
@@ -718,6 +730,7 @@ def _raw_oracle_sql() -> dict[str, str]:
             SELECT event_type, user_id, count(*)::BIGINT AS frequency
             FROM events WHERE user_id < 10 GROUP BY event_type, user_id
         """,
+        "user_sessions": _sessions_sql(),
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity)::BIGINT AS sum_qty,
@@ -769,6 +782,12 @@ def _pipeline_sql() -> str:
     from cms_topn_spark.operators import pipeline
 
     return pipeline.curate_sql()
+
+
+def _sessions_sql() -> str:
+    from cms_topn_spark.operators.sessions import sessionize_sql
+
+    return sessionize_sql()
 
 
 def _stratified_sample_sql() -> str:

@@ -503,6 +503,44 @@ class TestCuratePipeline:
             similarity.probe_masks(16, 16)
 
 
+class TestSessionize:
+    def test_gap_boundaries_and_oracle(self, spark):
+        """Hand-checkable gaps: exactly-at-threshold stays in-session (rule
+        is strictly greater), 1µs over splits; parity vs the SQL oracle."""
+        import datetime as dt
+
+        import duckdb
+
+        from cms_topn_spark.operators.sessions import sessionize, sessionize_sql
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        gap = dt.timedelta(minutes=30)
+        rows = [
+            (1, t0, 7),
+            (2, t0 + gap, 7),                                 # == gap: same session
+            (3, t0 + gap + gap + dt.timedelta(microseconds=1), 7),  # > gap: new
+            (4, t0, 8),                                       # other user
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, user_id long")
+        got = {
+            (r["user_id"], r["session_id"]): (r["n_events"], r["duration_us"])
+            for r in sessionize(df).collect()
+        }
+        assert got == {
+            (7, 1): (2, 30 * 60 * 1_000_000),
+            (7, 2): (1, 0),
+            (8, 1): (1, 0),
+        }
+        c = duckdb.connect()
+        c.execute("CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT)")
+        c.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+        oracle = {
+            (r[0], r[1]): (r[2], r[3])
+            for r in c.execute(sessionize_sql("ev")).fetchall()
+        }
+        assert got == oracle
+
+
 class TestLangIdNgram:
     def test_lang_id_ngram(self, docs, con):
         from cms_topn_spark.operators import textops
