@@ -460,6 +460,53 @@ def q_winnow_fingerprints(spark, sf_dir):
     return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_stream_keyed_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyed custom-stateful streaming operator under the hard gate:
+    events stream through applyInPandasWithState (one CmsTopn per event_type,
+    Spark-managed state, update output mode), and the FINAL state per key —
+    totals and top-1 frequencies are monotone under the linear update, so
+    max() over the update stream reads it — must equal the batch GROUP-BY
+    oracle. Collision-negligible width (ε=2e-5) keeps the check exact."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from cms_topn_spark.streaming.stream_agg import keyed_sketch_stream
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_keyed_")
+    qn = "keyed_gate_" + uuid.uuid4().hex
+    try:
+        src = os.path.join(tmp, "in")
+        ev.select("event_type", "user_id").repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("event_type string, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        updates = keyed_sketch_stream(stream, "event_type", "user_id", n=1, eps=0.00002)
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [
+            (r["key"], r["total"], r["top_freq"])
+            for r in spark.sql(
+                f"SELECT key, max(total) AS total, max(top_freq) AS top_freq "
+                f"FROM {qn} GROUP BY key"
+            ).collect()
+        ]
+    finally:
+        spark.catalog.dropTempView(qn)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "key string, total long, top_freq long")
+
+
 def q_cms_vocab_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-driven vocabulary gating — the CMS used INSIDE a pipeline
     transform: pass 1 folds the corpus token stream into one CMS (mergeable
@@ -534,6 +581,7 @@ _ORDER: dict[str, str] = {
     "bloom_customer_semijoin": "matched_customers",
     "mms_user_masks": "user_id",
     "stream_event_type_counts": "frequency DESC, item",
+    "stream_keyed_topn": "key",
     "cms_vocab_gate": "doc_id",
     "grouped_user_freq": "event_type, user_id",
     "user_sessions": "user_id, session_id",
@@ -621,6 +669,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_customer_semijoin": q_bloom_customer_semijoin,
         "mms_user_masks": q_mms_user_masks,
         "stream_event_type_counts": q_stream_event_type_counts,
+        "stream_keyed_topn": q_stream_keyed_topn,
         "cms_vocab_gate": q_cms_vocab_gate,
         "grouped_user_freq": q_grouped_user_freq,
         "user_sessions": q_user_sessions,
@@ -716,6 +765,15 @@ def _raw_oracle_sql() -> dict[str, str]:
         "stream_event_type_counts": """
             SELECT event_type AS item, count(*)::BIGINT AS frequency
             FROM events GROUP BY event_type ORDER BY frequency DESC LIMIT 5
+        """,
+        "stream_keyed_topn": """
+            WITH c AS (
+              SELECT event_type, user_id, count(*) AS n
+              FROM events GROUP BY event_type, user_id
+            )
+            SELECT event_type AS key, sum(n)::BIGINT AS total,
+                   max(n)::BIGINT AS top_freq
+            FROM c GROUP BY event_type
         """,
         "cms_vocab_gate": """
             WITH tok AS (

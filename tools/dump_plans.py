@@ -83,6 +83,16 @@ if __name__ == "__main__":
         grep=("Exchange", "CoGroup", "FlatMap", "Scan", "Generate"),
         fmt="simple",
     )
+    from cms_topn_spark.operators.sessions import sessionize
+
+    show(
+        "Sessionization (windows + agg, one exchange)",
+        sessionize(spark.read.parquet(sf + "/events.parquet")),
+        "lag/running-sum windows shuffle once on user_id; the (user_id, "
+        "session_id) aggregation reuses that clustering — NO second exchange",
+        grep=("Exchange", "Window", "HashAggregate", "Sort"),
+        fmt="simple",
+    )
     from cms_topn_spark.operators import pipeline
 
     show(
