@@ -219,3 +219,30 @@ def test_winnow_selection_matches_sql_oracle(texts, k):
     con.executemany("INSERT INTO d VALUES (?, ?)", list(enumerate(texts)))
     want = {tuple(r) for r in con.execute(winnow_fingerprints_sql("d", window=k)).fetchall()}
     assert got == want
+
+
+@given(vals=st.lists(st.integers(0, 50), min_size=1, max_size=400))
+@settings(**SETTINGS)
+def test_conservative_segmented_scatter_equals_maximum_at(vals):
+    """The sorted segmented-max scatter must equal np.maximum.at exactly
+    (heavy in-batch column collisions: 51 keys into a narrow sketch)."""
+    s = CmsTopn(5, 0.1, 0.9, update="conservative")  # narrow: forced collisions
+    ref = CmsTopn(5, 0.1, 0.9, update="conservative")
+    s.add_batch(vals, type_tag=enc.TYPE_INT64)
+    # reference scatter on a copy of the same pre-state (all-zero) and the
+    # same dedup/newval pipeline, via the add path run once more on ref with
+    # monkeypatched np.maximum.at semantics == recompute by brute force
+    import numpy as np
+
+    uniq, counts = np.unique(np.asarray(vals, dtype=np.int64), return_counts=True)
+
+    from cms_topn_spark.core.encoding import encode_int64
+    from cms_topn_spark.core.murmur import MURMUR_SEED, hash128
+
+    data, offs, lens = encode_int64(uniq)
+    h1, h2 = hash128(data, offs, lens, MURMUR_SEED)
+    cols = ref._cols(h1, h2)
+    newval = ref._estimate_cols(cols) + counts.astype("uint64")
+    for i in range(ref.depth):
+        np.maximum.at(ref.counters[i], cols[i], newval)
+    assert np.array_equal(s.counters, ref.counters)
