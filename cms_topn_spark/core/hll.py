@@ -113,7 +113,14 @@ class HyperLogLog(MergeableSketch):
             x[m] = x[m] << U64(shift)
         clz[rest == 0] = 64 - self.p  # no set bit in the remaining bits
         rho = np.minimum(clz + 1, 64 - self.p + 1).astype(np.uint8)
-        np.maximum.at(self.registers, idx, rho)
+        # sorted segmented max + one vectorized maximum (same trick as the
+        # CMS conservative path — np.maximum.at scatters unbuffered)
+        o = np.argsort(idx, kind="stable")
+        si = idx[o]
+        starts = np.flatnonzero(np.concatenate(([True], si[1:] != si[:-1])))
+        seg_max = np.maximum.reduceat(rho[o], starts)
+        ui = si[starts]
+        self.registers[ui] = np.maximum(self.registers[ui], seg_max)
 
     # ---------------- query ----------------
 
