@@ -70,7 +70,14 @@ def kmeans_fit(
                 d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T)
                 d2 += (c * c).sum(1)[None, :]
                 cell = np.argmin(d2, axis=1)
-                np.add.at(sums, cell, mat)
+                # sorted segmented row-sum (reduceat along axis 0) instead of
+                # np.add.at's unbuffered row scatter — the per-partition sum
+                # is the k-means hot loop at corpus scale
+                order = np.argsort(cell, kind="stable")
+                cs = cell[order]
+                starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+                seg = np.add.reduceat(mat[order], starts, axis=0)
+                sums[cs[starts]] += seg
                 counts += np.bincount(cell, minlength=len(c))
             nz = np.nonzero(counts)[0]
             yield pa.RecordBatch.from_pydict(
