@@ -16,6 +16,10 @@ Four families, each with the partitioning/shuffle story a 100 TB corpus needs:
 - **SimHash**: 64-bit signature; near-dups = signatures at Hamming distance
   ≤ k found by pigeonhole banding of the signature.
 
+Plus **winnowing fingerprints** (Schleimer rolling-hash selection) and
+**duplicate-cluster resolution** (connected components over any of the pair
+outputs — the keep/drop decision step).
+
 Minhash shingle hashing uses the library's Murmur3 kernel with
 splitmix64-derived affine permutations; SimHash and winnowing hash the packed
 8-byte gram word with splitmix64 (SQL-renderable, so their whole schemes have
