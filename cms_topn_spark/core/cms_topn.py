@@ -176,19 +176,34 @@ class CmsTopn(MergeableSketch):
         new = np.ones(n_items, dtype=bool)
         new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
         grp = np.cumsum(new) - 1
-        u_counts = np.bincount(grp, weights=counts[sort_ix]).astype(np.int64)
+        # bincount's float64 weight accumulation is exact only while every
+        # possible sum stays ≪ 2^53; max·n bounds the largest sum without
+        # int64-overflow risk. Huge-count batches take the unbuffered exact
+        # scatter instead — the one-sided f̂ ≥ f guarantee must hold for any
+        # int64 counts (public add()/add_packed() accepts them)
+        exact_scatter = int(counts.max()) * n_items > (1 << 52)
+        if exact_scatter:
+            u_counts = np.zeros(int(grp[-1]) + 1, dtype=np.int64)
+            np.add.at(u_counts, grp, counts[sort_ix])
+        else:
+            u_counts = np.bincount(grp, weights=counts[sort_ix]).astype(np.int64)
         first_idx = sort_ix[new]
         uh1, uh2 = h1[first_idx], h2[first_idx]
         cols = self._cols(uh1, uh2)
 
         if self.update_mode == UPDATE_LINEAR:
             # bincount into width-sized bins beats np.add.at's unbuffered
-            # scatter ~10×; per-batch per-cell increments are ≪ 2^53, so the
-            # float64 accumulation is exact before the uint64 cast
-            for i in range(self.depth):
-                self.counters[i] += np.bincount(
-                    cols[i], weights=u_counts, minlength=self.width
-                ).astype(U64)
+            # scatter ~10× in the common small-count case; huge-count batches
+            # (see exact_scatter above) keep the exact path
+            if exact_scatter:
+                uc64 = u_counts.astype(U64)
+                for i in range(self.depth):
+                    np.add.at(self.counters[i], cols[i], uc64)
+            else:
+                for i in range(self.depth):
+                    self.counters[i] += np.bincount(
+                        cols[i], weights=u_counts, minlength=self.width
+                    ).astype(U64)
         else:
             # parallel conservative update: estimates from the pre-batch state
             est_pre = self._estimate_cols(cols)
@@ -280,20 +295,41 @@ class CmsTopn(MergeableSketch):
 
     def estimate(self, value) -> int | None:
         """cms_topn_frequency: NULL item → None (expected/results.out:61-84)."""
-        if value is None:
-            return None
-        tag = enc.infer_type_tag(value)
-        if self.item_type != enc.TYPE_UNSET and tag != self.item_type:
-            # integers coerce to the sketch's bound integer width; anything
-            # else is the reference's type error (expected/results.out:17-19)
-            if tag == enc.TYPE_INT32 and self.item_type == enc.TYPE_INT64:
-                tag = enc.TYPE_INT64
-            elif tag == enc.TYPE_INT64 and self.item_type == enc.TYPE_INT32:
-                return 0  # value cannot fit the bound type ⇒ never added
-            else:
-                raise SketchError("not a proper cms_topn for the result type")
-        b = enc.encode_one(value, tag)
-        return int(self.estimate_packed(b, np.array([0]), np.array([len(b)]))[0])
+        return self.estimate_many([value])[0]
+
+    def estimate_many(self, values) -> list:
+        """Vectorized ``cms_topn_frequency`` over a probe list: coercion rules
+        identical to :meth:`estimate` per item, but ONE Murmur pass + one
+        counter gather for the whole list — the grouped-probe hot loop runs
+        this once per state instead of a per-item Python round-trip."""
+        enc_bytes: list = []
+        out: list = [0] * len(values)
+        for i, v in enumerate(values):
+            if v is None:
+                out[i] = None
+                enc_bytes.append(None)
+                continue
+            tag = enc.infer_type_tag(v)
+            if self.item_type != enc.TYPE_UNSET and tag != self.item_type:
+                # integers coerce to the sketch's bound integer width; anything
+                # else is the reference's type error (expected/results.out:17-19)
+                if tag == enc.TYPE_INT32 and self.item_type == enc.TYPE_INT64:
+                    tag = enc.TYPE_INT64
+                elif tag == enc.TYPE_INT64 and self.item_type == enc.TYPE_INT32:
+                    enc_bytes.append(None)  # cannot fit the bound type ⇒ 0
+                    continue
+                else:
+                    raise SketchError("not a proper cms_topn for the result type")
+            enc_bytes.append(enc.encode_one(v, tag))
+        live = [i for i, b in enumerate(enc_bytes) if b is not None]
+        if live:
+            data = b"".join(enc_bytes[i] for i in live)
+            lens = np.array([len(enc_bytes[i]) for i in live], dtype=np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            est = self.estimate_packed(data, offs, lens)
+            for j, i in enumerate(live):
+                out[i] = int(est[j])
+        return out
 
     def _ordered_entries(self) -> list[tuple[bytes, int, int]]:
         items = [(it, int(e[0]), int(e[1])) for it, e in self.topn.items()]

@@ -219,14 +219,19 @@ def sketch_agg(
     merged on the driver (P sketch-sized rows; merging is O(P·d·w) numpy adds,
     microseconds per state). The shuffle tree only pays off when P is large —
     at 1000-executor scale — so it kicks in above ``direct_collect_limit``."""
-    states = build_partials(df, factory, ingest, salt_partitions)
-    n_parts = df.rdd.getNumPartitions() if salt_partitions is None else salt_partitions
+    states = build_partials(df, factory, ingest, salt_partitions).persist()
+    # one action over sketch-sized rows: the expensive build runs exactly once
+    # (persisted), and the row count IS the partition count — no plan→RDD
+    # conversion on the input frame to probe it
+    n_parts = states.count()
     merged_df = None
     if n_parts > direct_collect_limit:
-        states = merged_df = tree_merge_df(states, fanin)
-    rows = states.collect()
-    if merged_df is not None:
+        merged_df = tree_merge_df(states, fanin)
+        rows = merged_df.collect()
         merged_df.unpersist()  # tree_merge_df leaves its last level cached
+    else:
+        rows = states.collect()
+    states.unpersist()
     acc = None
     for r in rows:
         if r["state"] is not None:

@@ -114,10 +114,11 @@ def grouped_probe(
             out_g, out_i, out_f = [], [], []
             for g, st in zip(pdf[group_col], pdf["state"]):
                 sk = sketch_from_bytes(bytes(st))
-                for it in items:
+                # one packed Murmur pass per state, not a per-item loop
+                for it, f in zip(items, sk.estimate_many(items)):
                     out_g.append(g)
                     out_i.append(it)
-                    out_f.append(int(sk.estimate(it)))
+                    out_f.append(f)
             yield pd.DataFrame({group_col: out_g, item_col: out_i, freq_col: out_f})
 
     return states.mapInPandas(probe, schema)
@@ -126,11 +127,23 @@ def grouped_probe(
 def grouped_topn(
     df: DataFrame, group_col: str, value_col: str, n: int, e: float = 0.001, p: float = 0.99
 ) -> DataFrame:
-    """Per-group heavy hitters: (group, item, frequency), freq desc per group."""
+    """Per-group heavy hitters: (group, item, frequency), freq desc per group.
+
+    Items come back with the sketch's BOUND type (int value columns → long
+    item column), matching the driver-level ``topn()`` / ``topn_explode`` —
+    the item type is read from the VALUE column's Spark type, so no driver
+    action is needed. Types outside the topn schema table fall back to their
+    string rendering, as upstream's text output does."""
     from ..core.base import sketch_from_bytes
     from ..core.cms_topn import CmsTopn
 
     gtype = dict(df.dtypes)[group_col]
+    vtype = dict(df.dtypes)[value_col]
+    item_type = {"int": "long", "bigint": "long", "string": "string"}.get(vtype)
+    native = item_type is not None
+    if not native:
+        item_type = "string"
+
     states = grouped_sketch_states(
         df, group_col, value_col, lambda: CmsTopn(n, e, p, update="linear")
     )
@@ -141,10 +154,10 @@ def grouped_topn(
             sk = sketch_from_bytes(bytes(st))
             for item, freq in sk.topn_list():
                 out_g.append(g)
-                out_i.append(str(item))
+                out_i.append(item if native else str(item))
                 out_f.append(freq)
         return pd.DataFrame({group_col: out_g, "item": out_i, "frequency": out_f})
 
     return states.groupBy(group_col).applyInPandas(
-        explode, f"{group_col} {gtype}, item string, frequency long"
+        explode, f"{group_col} {gtype}, item {item_type}, frequency long"
     )

@@ -66,6 +66,10 @@ def kmeans_fit(
             counts = np.zeros(len(c), dtype=np.int64)
             for rb in batches:
                 mat = _batch_embedding_matrix(rb.column(1))
+                if mat.shape[0] == 0:
+                    # mapInArrow can deliver empty record batches (filtered /
+                    # empty-file inputs); reduceat on a (0, d) array raises
+                    continue
                 # nearest centroid by squared L2 (argmin over GEMM expansion)
                 d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T)
                 d2 += (c * c).sum(1)[None, :]

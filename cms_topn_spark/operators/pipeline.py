@@ -55,9 +55,12 @@ def curate(
         F.col(id_col),
         F.col(text_col),
         lang_pred_expr(text_col).alias("pred_lang"),
+        # greatest(·,1) guards the empty document: Spark would yield NULL
+        # (silently un-gateable) and DuckDB 0/0 — the guard makes both
+        # engines score an empty text 0 and gate it out deterministically
         F.expr(
             f"floor(1000000 * length(regexp_replace({text_col}, '[^A-Za-z]', ''))"
-            f" / length({text_col}))"
+            f" / greatest(length({text_col}), 1))"
         )
         .cast("long")
         .alias("alpha_ratio_fx"),
@@ -176,7 +179,7 @@ def curate_sql(
     WITH feats AS (
       SELECT doc_id, text,
              {lang_pred_sql("text")} AS pred_lang,
-             floor(1000000 * len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / len(text))::BIGINT AS alpha_ratio_fx,
+             floor(1000000 * len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(len(text), 1))::BIGINT AS alpha_ratio_fx,
              floor(1000000 * (1.0 - len(list_distinct({tk}))::DOUBLE / len({tk})))::BIGINT AS dup_token_fx,
              len({tk})::BIGINT AS n_tokens
       FROM {table}

@@ -81,3 +81,57 @@ def test_grouped_topn_shape(spark, sf001_dir):
     for g, freqs in by_group.items():
         assert len(freqs) == 3
         assert freqs == sorted(freqs, reverse=True)
+
+
+def test_grouped_topn_items_keep_bound_type(spark, sf001_dir):
+    """int64 value column ⇒ long item column whose values equal the typed
+    driver-level topn() per group (the r2 topn_explode fix, applied here)."""
+    from pyspark.sql.types import LongType
+
+    from cms_topn_spark.functions.sketch_api import cms_topn_add_agg
+
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    out = grouped_topn(events, "event_type", "user_id", n=3, e=0.0001)
+    assert isinstance(out.schema["item"].dataType, LongType)
+    rows = out.collect()
+    assert all(isinstance(r["item"], int) for r in rows)
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["event_type"], []).append((r["item"], r["frequency"]))
+    for et in list(by_group)[:2]:
+        direct = cms_topn_add_agg(
+            events.where(F.col("event_type") == et), "user_id", n=3
+        )
+        assert dict(by_group[et]) == dict(direct.topn_list())
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    from cms_topn_spark.operators.dedup import duplicate_clusters
+
+    # a chain 0-1-2-...-9 has diameter 9; min-label propagation cannot
+    # finish in 2 rounds and must fail loudly, not return wrong labels
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "a_id long, b_id long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iters=2)
+    # and with enough rounds the same chain resolves to one component
+    got = duplicate_clusters(pairs, max_iters=20).collect()
+    assert {r["rep_id"] for r in got} == {0}
+    assert {r["doc_id"] for r in got} == set(range(11))
+
+
+def test_kmeans_fit_handles_empty_partitions(spark, sf001_dir):
+    """mapInArrow can deliver empty record batches / empty partitions (e.g.
+    a tight filter); the segmented reduceat kernel must skip them."""
+    from cms_topn_spark.operators.ivf import kmeans_fit
+
+    emb = (
+        spark.read.parquet(os.path.join(sf001_dir, "embeddings.parquet"))
+        .where(F.col("vec_id") < 6)
+        .repartition(16)  # 6 rows over 16 partitions: most are empty
+    )
+    cents = kmeans_fit(emb, n_cells=2, iters=2)
+    assert cents.shape[0] == 2

@@ -112,3 +112,32 @@ class TestMurmurOutlierBatch:
         h1, h2 = hash128(data, offs, lens)
         for i in (0, 777, 1999, 17):
             assert (int(h1[i]), int(h2[i])) == hash128_one(items[i])
+
+
+class TestEstimateBatchAndOverflow:
+    def test_estimate_many_matches_estimate(self):
+        sk = CmsTopn(5, 0.001, 0.99, update="linear")
+        for w, c in (("a", 3), ("b", 7), ("c", 1)):
+            sk.add_batch([w], counts=[c])
+        probes = ["a", "b", "c", "missing", None]
+        assert sk.estimate_many(probes) == [sk.estimate(p) for p in probes]
+
+    def test_estimate_many_int_coercion_rules(self):
+        sk = CmsTopn(5, update="linear")
+        sk.add_batch([np.int32(7).item()], counts=[2])  # binds int32
+        # int64 too wide for an int32-bound sketch ⇒ 0, not a crash
+        got = sk.estimate_many([7, 2**40, None])
+        assert got[0] == 2 and got[1] == 0 and got[2] is None
+        with pytest.raises(SketchError):
+            sk.estimate_many(["a string"])
+
+    def test_linear_huge_counts_stay_exact(self):
+        # a per-batch count sum beyond 2^53 would silently round through the
+        # bincount float64 weights; the guard must route to the exact path
+        # and keep the one-sided f-hat >= f guarantee
+        sk = CmsTopn(5, 0.01, 0.99, update="linear")
+        big = (1 << 53) + 3
+        sk.add_batch(["x"], counts=[big])
+        sk.add_batch(["x"], counts=[5])
+        assert sk.estimate("x") == big + 5
+        assert sk.total == big + 5

@@ -454,6 +454,32 @@ class TestCuratePipeline:
         assert {(d, l) for d, l, _, _ in got} == manual
         assert got, "gates should not eliminate the whole corpus"
 
+    def test_curate_empty_text_gated_both_engines(self, spark):
+        """An empty document must be deterministically gated OUT (scored 0),
+        not silently NULL-dropped in Spark while crashing / NaN-ing the
+        DuckDB oracle — the two engines must agree row-for-row."""
+        import duckdb as _duckdb
+        import pandas as pd
+
+        from cms_topn_spark.operators import pipeline
+
+        rows = [
+            (1, ""),
+            (2, "the wonderful adventure continued throughout the beautiful afternoon"),
+            (3, "the wonderful adventure continued throughout the beautiful afternoon"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = pipeline.curate(df).collect()
+        assert {r["doc_id"] for r in got} == {2}
+        assert got[0]["copies"] == 2
+        c = _duckdb.connect()
+        c.register("edge_docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        res = c.execute(pipeline.curate_sql("edge_docs"))
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        assert rowset([f.lower() for f in pipeline.curate(df).columns],
+                      [tuple(r) for r in got]) == rowset(ocols, orows)
+
 
     def test_hash_sample_deterministic_and_engine_exact(self, docs, con):
         from cms_topn_spark.operators import pipeline
