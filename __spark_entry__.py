@@ -507,6 +507,108 @@ def q_stream_keyed_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "key string, total long, top_freq long")
 
 
+def q_stream_windowed_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time WINDOWED streaming under the hard gate (the last streaming
+    surface): events stream through windowed_sketch_stream — watermarked
+    event-time windows, one mergeable CMS top-n state per window, per-window
+    idempotent fsync'd frames (streaming/stream_agg.py:133-203) — and every
+    window's topn must equal the window-grouped batch GROUP BY oracle.
+    Staged as 4 files with maxFilesPerTrigger=1, so rows reach each window
+    from MULTIPLE micro-batches out of event-time order: the per-window fold
+    path (late-data merge, per-file batch-id skip) is genuinely exercised,
+    not just the single-batch case. n=5 covers all event types and the
+    default width is collision-negligible for 5 keys, so counts are exact."""
+    import shutil
+    import tempfile
+
+    from cms_topn_spark.streaming.stream_agg import (
+        read_window_states,
+        windowed_sketch_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_win_")
+    try:
+        src = os.path.join(tmp, "in")
+        # NTZ → session-tz timestamp (sessions run UTC): staged epoch equals
+        # the wall clock DuckDB's epoch(date_trunc(...)) reads
+        ev.select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        ).repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = windowed_sketch_stream(
+            stream,
+            "ts",
+            "event_type",
+            os.path.join(tmp, "state"),
+            os.path.join(tmp, "ckpt"),
+            lambda: CmsTopn(5, update="linear"),
+            window="1 day",
+            watermark="2 days",
+        )
+        q.awaitTermination()
+        states = read_window_states(os.path.join(tmp, "state"))
+        rows = [
+            (int(w), str(item), int(freq))
+            for w, sk in sorted(states.items())
+            for item, freq in sk.topn_list()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "window_start long, item string, frequency long")
+
+
+def q_grouped_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KLL quantiles in the map-side-combine scale form
+    (operators/grouped.py grouped_quantiles): per-user event-value quartiles
+    over every user (150 groups at sf0.01, 1500 at sf0.1). The exchange moves
+    one KLL state per (task, group) — never the group's rows — and quantiles
+    are read out distributed. Per-group n (~67 rows) is far below the k=4096
+    compaction threshold, so each quantile equals DuckDB quantile_cont
+    bitwise (the exact regime; the compacting path is pytest-covered)."""
+    from cms_topn_spark.operators.grouped import grouped_quantiles
+
+    return grouped_quantiles(
+        _t(spark, sf_dir, "events"), "user_id", "value", k=4096
+    )
+
+
+PLANTED_NN_OFFSET = 1_000_000
+
+
+def q_ann_lsh_planted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SUBLINEAR multi-probe LSH config under the hard gate. The planted
+    corpus is derived deterministically from the embeddings table: each query
+    vector is re-added at vec_id+10⁶ scaled by 2 — cosine-identical, so its
+    hyperplane signature matches the query's in EVERY table (signs are scale
+    invariant) and recall of the true nearest neighbor is 1.0 BY CONSTRUCTION
+    even though the default config (16 planes × 16 tables, probe_hamming=2)
+    probes only 137 of 65536 bucket keys per table (~0.2 %, asserted below;
+    measured candidate fraction ≈3 % of the corpus is pytest-asserted on
+    planted clusters). The oracle is DuckDB brute force over the same planted
+    corpus — this entry demonstrates the genuinely sublinear 100-TB plan
+    green under the gate, complementing ann_lsh_topk's full-probe regime."""
+    from cms_topn_spark.operators.similarity import probe_masks
+
+    n_planes, probe_h = 16, 2
+    masks = probe_masks(n_planes, probe_h)
+    assert len(masks) / (1 << n_planes) < 0.01, "probe fraction must stay sublinear"
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        (F.col("vec_id") + F.lit(PLANTED_NN_OFFSET)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    planted = emb.unionByName(dup)
+    return similarity.lsh_topk(
+        planted, ANN_QUERY_IDS, k=1,
+        probe_hamming=probe_h, n_planes=n_planes, n_tables=16,
+    )
+
+
 def q_cms_vocab_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-driven vocabulary gating — the CMS used INSIDE a pipeline
     transform: pass 1 folds the corpus token stream into one CMS (mergeable
@@ -582,6 +684,9 @@ _ORDER: dict[str, str] = {
     "mms_user_masks": "user_id",
     "stream_event_type_counts": "frequency DESC, item",
     "stream_keyed_topn": "key",
+    "stream_windowed_topn": "window_start, frequency DESC, item",
+    "grouped_kll_quantiles": "user_id",
+    "ann_lsh_planted_topk": "query_id, rank",
     "cms_vocab_gate": "doc_id",
     "grouped_user_freq": "event_type, user_id",
     "user_sessions": "user_id, session_id",
@@ -670,6 +775,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mms_user_masks": q_mms_user_masks,
         "stream_event_type_counts": q_stream_event_type_counts,
         "stream_keyed_topn": q_stream_keyed_topn,
+        "stream_windowed_topn": q_stream_windowed_topn,
+        "grouped_kll_quantiles": q_grouped_kll_quantiles,
+        "ann_lsh_planted_topk": q_ann_lsh_planted_topk,
         "cms_vocab_gate": q_cms_vocab_gate,
         "grouped_user_freq": q_grouped_user_freq,
         "user_sessions": q_user_sessions,
@@ -775,6 +883,18 @@ def _raw_oracle_sql() -> dict[str, str]:
                    max(n)::BIGINT AS top_freq
             FROM c GROUP BY event_type
         """,
+        "stream_windowed_topn": """
+            SELECT epoch(date_trunc('day', ts))::BIGINT AS window_start,
+                   event_type AS item, count(*)::BIGINT AS frequency
+            FROM events GROUP BY window_start, item
+        """,
+        "grouped_kll_quantiles": """
+            SELECT user_id,
+                   quantile_cont(value, 0.25) AS q25,
+                   quantile_cont(value, 0.5)  AS q50,
+                   quantile_cont(value, 0.75) AS q75
+            FROM events GROUP BY user_id
+        """,
         "cms_vocab_gate": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
@@ -825,6 +945,21 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=5),
         # full-probe IVF = brute force by construction (see q_ann_ivf_topk)
         "ann_ivf_topk": similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=5),
+        # sublinear LSH on the planted-duplicate corpus vs brute force over
+        # the SAME corpus (cosine-identical dup ⇒ recall 1.0 by construction)
+        "ann_lsh_planted_topk": similarity.brute_force_topk_sql(
+            ANN_QUERY_IDS,
+            k=1,
+            table="planted",
+            prelude=f"""planted AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + {PLANTED_NN_OFFSET},
+                     list_transform(embedding, x -> x * 2)
+              FROM embeddings
+              WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+            ), """,
+        ),
         "cosine_near_dup_pairs": similarity.cosine_near_dup_pairs_sql(COSINE_DUP_THRESHOLD),
         # full winnowing / simhash schemes recomputed in SQL (splitmix64 via
         # HUGEINT modular multiplies) — bit-exact vs the Spark operators

@@ -66,6 +66,25 @@ DOCS_PER_FILE = 46_875  # ≈12 MB/file < maxPartitionBytes ⇒ uniform 1-file t
 SCALING_REPS = 3  # FIXED rep count — no outcome-conditioned early stopping
 SCALING_WALL_BUDGET = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "420"))
 AMBIENT_GATE = 3.5  # external load above this at start → wait (bounded) for quiet
+AMBIENT_WAIT_MAX = float(os.environ.get("SPARK_GRAFT_AMBIENT_WAIT", "420"))
+HEADLINE_PASSES = 2  # fixed timed passes, per-query min — storm insurance
+
+# ---- storm handling (ALL rules outcome-independent: they look at ambient
+# load and CPU-seconds-for-identical-work, never at the efficiency value) ----
+# Quiet-box CPU seconds for the 9M-doc flagship build per level, from the
+# recorded session history (BENCH/BASELINE.md §2: quiet sessions 160-190 s).
+# A rep whose process-tree CPU exceeds ratio × reference did its identical
+# work through co-tenant contention (the box's storms inflate CPU for the
+# SAME work 1.5-2×) and is flagged contaminated; if either level ends the
+# fixed reps without ≥2 clean reps, up to MAX_EXTRA_REP_PAIRS more
+# interleaved pairs run. Env-overridable if the doc count changes.
+CPU_QUIET_REF = {
+    2: float(os.environ.get("SPARK_GRAFT_CPU_REF_LO", "155")),
+    8: float(os.environ.get("SPARK_GRAFT_CPU_REF_HI", "175")),
+}
+CPU_STORM_RATIO = 1.3
+MAX_EXTRA_REP_PAIRS = 3
+MIN_CLEAN_REPS = 2
 
 
 def log(*a):
@@ -99,7 +118,7 @@ def _tree_cpu_seconds() -> float:
     return total
 
 
-def wait_for_ambient_quiet(threshold: float = AMBIENT_GATE, timeout: float = 150.0) -> float:
+def wait_for_ambient_quiet(threshold: float = AMBIENT_GATE, timeout: float = AMBIENT_WAIT_MAX) -> float:
     """If EXTERNAL load is high before we start, wait (bounded) for a quiet
     window. Called before any of our own Spark sessions run, so the reading
     is genuinely ambient, not our own 1-minute shadow."""
@@ -132,13 +151,19 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     # warm the parquet reader + the sketch code path once so the first timed
     # query doesn't absorb session-level lazy init
     qs["cms_topn_event_types"](spark, sf_dir).count()
-    out = {}
-    for name in HEADLINE:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        n = df.count() if df is not None else 0
-        out[name] = round(time.monotonic() - t0, 3)
-        log(f"  {name}: {out[name]}s ({n} rows)")
+    # FIXED pass count with per-query min: a co-tenant storm that lands on
+    # one pass cannot contaminate the recorded wall for every query, and the
+    # rule (always run HEADLINE_PASSES passes, take the min) never looks at
+    # the values, so it introduces no optional-stopping bias
+    out: dict[str, float] = {}
+    for p in range(HEADLINE_PASSES):
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            n = df.count() if df is not None else 0
+            wall = round(time.monotonic() - t0, 3)
+            out[name] = min(out.get(name, wall), wall)
+            log(f"  pass{p} {name}: {wall}s ({n} rows)")
     spark.stop()
     return out
 
@@ -194,7 +219,7 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
     loads = []
     section_t0 = time.monotonic()
 
-    for rep in range(reps):
+    def run_pair(rep: int) -> None:
         for cpus in levels:
             spark = get_spark(
                 f"bench-scaling-{cpus}",
@@ -233,11 +258,39 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
             loads.append(round(load_pre, 2))
             log(f"  rep{rep} local[{cpus}]: {wall:.2f}s wall, {cpu:.1f}s cpu (load {load_pre:.1f})")
             spark.stop()
+
+    def clean_reps(c: int) -> int:
+        """Reps whose CPU-for-identical-work stayed near the quiet-box
+        reference — contention inflates CPU for the same work, so this flags
+        storm-contaminated reps WITHOUT looking at walls or efficiency."""
+        limit = CPU_STORM_RATIO * CPU_QUIET_REF[c]
+        return sum(1 for x in cpus_used[c] if x <= limit)
+
+    for rep in range(reps):
+        run_pair(rep)
         # the only early exit is the WALL BUDGET — a rule independent of the
         # measured efficiency, so it cannot bias the recorded statistic
         if rep + 1 < reps and time.monotonic() - section_t0 > SCALING_WALL_BUDGET:
             log("  scaling wall budget exhausted — reporting completed reps")
             break
+
+    # storm recovery: if either level lacks MIN_CLEAN_REPS uncontended reps
+    # (by the CPU-parity rule above — never by the measured efficiency), run
+    # bounded extra interleaved pairs so the driver's one recorded shot can
+    # land on a quiet window even when the fixed reps started into a storm
+    extra_pairs = 0
+    while (
+        extra_pairs < MAX_EXTRA_REP_PAIRS
+        and (clean_reps(lo) < MIN_CLEAN_REPS or clean_reps(hi) < MIN_CLEAN_REPS)
+        and time.monotonic() - section_t0 < SCALING_WALL_BUDGET + 180 * MAX_EXTRA_REP_PAIRS
+    ):
+        log(
+            f"  storm detected (clean reps lo={clean_reps(lo)} hi={clean_reps(hi)}"
+            f", cpu refs {CPU_QUIET_REF}) — extra interleaved pair"
+        )
+        wait_for_ambient_quiet(timeout=60)
+        run_pair(len(walls[lo]))
+        extra_pairs += 1
 
     def med(xs):
         s = sorted(xs)
@@ -265,6 +318,11 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
     res["efficiency_median"] = round(eff_median, 3)
     res["reps_fixed"] = True
     res["reps"] = len(walls[lo])
+    res["extra_storm_pairs"] = extra_pairs
+    res["clean_reps"] = {str(c): clean_reps(c) for c in levels}
+    res["cpu_sec_per_rep"] = {
+        str(c): [round(x, 1) for x in cpus_used[c]] for c in levels
+    }
     # contention-corrected supplement: wall ratio × cpu ratio. Identical work
     # should cost identical CPU seconds at both levels; when co-tenant load
     # inflates the high level's CPU (cpu_parity > 1), the same factor
@@ -353,6 +411,13 @@ def main() -> None:
                     "efficiency_cpu_adjusted": scaling_28["efficiency_cpu_adjusted"],
                     "reps_fixed": scaling_28["reps_fixed"],
                     "reps": scaling_28["reps"],
+                    # storm accounting: reps whose CPU-for-identical-work
+                    # stayed near the quiet-box reference, and how many
+                    # bounded extra pairs the (outcome-independent) storm
+                    # rule granted
+                    "clean_reps": scaling_28["clean_reps"],
+                    "extra_storm_pairs": scaling_28["extra_storm_pairs"],
+                    "cpu_sec_per_rep": scaling_28["cpu_sec_per_rep"],
                     # cpu_parity = CPU-seconds(local8)/CPU-seconds(local2) on
                     # the best runs: ≈1.0 certifies both levels did identical
                     # work, so any efficiency shortfall is box contention,

@@ -123,7 +123,11 @@ class KllSketch(MergeableSketch):
             return float(v[i])
         j = int(np.searchsorted(cum - 1.0, lo_rank + 1.0, side="left"))
         j = min(j, len(v) - 1)
-        return float(v[i] + (v[j] - v[i]) * frac)
+        # a·(1−f) + b·f, NOT a + (b−a)·f: algebraically equal but they round
+        # differently in the last ulp, and the first form is what DuckDB's
+        # quantile_cont computes — keeping it makes the exact regime BITWISE
+        # equal to the oracle, not merely within rounding
+        return float(v[i] * (1.0 - frac) + v[j] * frac)
 
     def quantiles(self, qs) -> list[float]:
         return [self.quantile(q) for q in qs]

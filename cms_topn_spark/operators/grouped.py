@@ -28,11 +28,25 @@ from ..core.base import merge_serialized
 from .build import pack_arrow_array
 
 
+def _packed_slice_ingest(sk, sl: pa.Array) -> None:
+    """Default slice ingest: pack the Arrow slice and add items (CMS/MMS/HLL
+    — anything speaking the packed-bytes protocol)."""
+    data, offs, lens, tag = pack_arrow_array(sl)
+    sk.add_packed(data, offs, lens, type_tag=tag)
+
+
+def numeric_slice_ingest(sk, sl: pa.Array) -> None:
+    """Float64 slice ingest for numeric sketches (KLL/t-digest): NULLs arrive
+    as NaN and are dropped inside ``add_batch``, mirroring quantile_cont."""
+    sk.add_batch(sl.to_numpy(zero_copy_only=False).astype(np.float64))
+
+
 def grouped_sketch_states(
     df: DataFrame,
     group_col: str,
     value_col: str,
     factory: Callable[[], object],
+    ingest: Callable[[object, pa.Array], None] = _packed_slice_ingest,
 ) -> DataFrame:
     """(group, state): one merged serialized sketch per group, two-level."""
     gtype = dict(df.dtypes)[group_col]
@@ -64,8 +78,7 @@ def grouped_sketch_states(
                 sk = sketches.get(key)
                 if sk is None:
                     sk = sketches[key] = factory()
-                data, offs, lens, tag = pack_arrow_array(sl)
-                sk.add_packed(data, offs, lens, type_tag=tag)
+                ingest(sk, sl)
         if sketches:
             ks = list(sketches.keys())
             yield pa.RecordBatch.from_pydict(
@@ -161,3 +174,49 @@ def grouped_topn(
     return states.groupBy(group_col).applyInPandas(
         explode, f"{group_col} {gtype}, item {item_type}, frequency long"
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+    q_names: tuple = ("q25", "q50", "q75"),
+    k: int = 200,
+) -> DataFrame:
+    """Per-group KLL quantiles at ANY group cardinality — the map-side-combine
+    scale form for numeric sketches: stage 1 folds each task's rows into
+    per-(task, group) KLL states shuffle-free, stage 2 shuffles and merges
+    STATES (k float64s per group, not the group's rows), stage 3 reads the
+    quantiles out of each merged state distributed (mapInPandas — no state
+    ever reaches the driver). Contrast ``groupwise.groupwise_estimate``,
+    which ships whole groups to single tasks and only suits few-group cases.
+
+    In the exact regime (per-group n below the compaction threshold for
+    ``k``) each quantile equals DuckDB/PostgreSQL ``quantile_cont`` bitwise;
+    beyond it the KLL rank-error bound applies per group."""
+    from ..core.base import sketch_from_bytes
+    from ..core.kll import KllSketch
+
+    if len(qs) != len(q_names):
+        raise ValueError("qs and q_names must have the same length")
+    gtype = dict(df.dtypes)[group_col]
+    states = grouped_sketch_states(
+        df, group_col, value_col, lambda: KllSketch(k), ingest=numeric_slice_ingest
+    )
+    schema = f"{group_col} {gtype}, " + ", ".join(f"{n} double" for n in q_names)
+
+    def read_quantiles(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out: dict = {group_col: []}
+            for n in q_names:
+                out[n] = []
+            for g, st in zip(pdf[group_col], pdf["state"]):
+                sk = sketch_from_bytes(bytes(st))
+                vals = sk.quantiles(qs)
+                out[group_col].append(g)
+                for n, v in zip(q_names, vals):
+                    out[n].append(v)
+            yield pd.DataFrame(out)
+
+    return states.mapInPandas(read_quantiles, schema)

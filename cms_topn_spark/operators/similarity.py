@@ -98,10 +98,14 @@ def brute_force_topk(
     )
 
 
-def brute_force_topk_sql(query_ids: list[int], k: int = 5, table: str = "embeddings") -> str:
+def brute_force_topk_sql(
+    query_ids: list[int], k: int = 5, table: str = "embeddings", prelude: str = ""
+) -> str:
+    """``prelude`` lets callers prepend extra CTEs (e.g. a planted-duplicate
+    corpus) that ``table`` refers to; it must end with a comma when set."""
     ids = ", ".join(str(int(q)) for q in query_ids)
     return f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM {table}
+    WITH {prelude}q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM {table}
                WHERE vec_id IN ({ids})),
     sims AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,

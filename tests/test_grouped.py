@@ -135,3 +135,52 @@ def test_kmeans_fit_handles_empty_partitions(spark, sf001_dir):
     )
     cents = kmeans_fit(emb, n_cells=2, iters=2)
     assert cents.shape[0] == 2
+
+
+def test_grouped_quantiles_exact_regime_matches_duckdb(spark, sf001_dir):
+    """Exact regime (per-group n << k): every per-group quantile equals
+    quantile_cont BITWISE — same gate the driver query runs at sf0.01."""
+    import duckdb
+
+    from cms_topn_spark.operators.grouped import grouped_quantiles
+
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    got = {
+        r["user_id"]: (r["q25"], r["q50"], r["q75"])
+        for r in grouped_quantiles(events, "user_id", "value", k=4096).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf001_dir}/events.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "SELECT user_id, quantile_cont(value,0.25), quantile_cont(value,0.5),"
+            " quantile_cont(value,0.75) FROM events GROUP BY user_id"
+        ).fetchall()
+    }
+    assert got == want  # bitwise float equality, not approx
+
+
+def test_grouped_quantiles_compacting_regime_bounded_error(spark, sf001_dir):
+    """k far below per-group n forces compaction: estimates must stay within
+    the KLL rank-error envelope (checked via rank displacement)."""
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    rows = grouped_quantiles_rows = {
+        r["user_id"]: r["q50"]
+        for r in __import__("cms_topn_spark.operators.grouped", fromlist=["grouped_quantiles"])
+        .grouped_quantiles(events, "user_id", "value", k=16)
+        .collect()
+    }
+    exact = {
+        r["user_id"]: sorted(v["value"] for v in events.where(F.col("user_id") == r["user_id"]).select("value").collect())
+        for r in events.select("user_id").distinct().limit(3).collect()
+    }
+    for uid, vals in exact.items():
+        est = rows[uid]
+        # rank of the estimate within the exact values: within 25% of median
+        import bisect
+
+        r = bisect.bisect_left(vals, est) / max(len(vals) - 1, 1)
+        assert 0.25 <= r <= 0.75, (uid, est, r)
