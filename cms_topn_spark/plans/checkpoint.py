@@ -11,9 +11,11 @@ written as Parquet with lineage columns:
 Resume = read the parquet back and continue merging; because merge is
 commutative/associative on serialized states, a job can restart from any
 completed stage. ``run_stage`` is the idempotent driver: if the stage
-checkpoint exists it is read, otherwise built and written. On Iceberg
-deployments the same frame maps to an Iceberg table with snapshot lineage;
-Parquet is the sandbox stand-in (no Iceberg runtime jar baked in).
+checkpoint exists it is read, otherwise built and written. Iceberg is
+detected at RUNTIME (:func:`iceberg_catalog`): with the iceberg-spark
+runtime jar + a configured SparkCatalog the states land as Iceberg tables
+with snapshot lineage via ``writeTo``; this sandbox has no jar, so the
+Parquet stand-in path runs (same frame, same lineage columns).
 """
 
 from __future__ import annotations
@@ -30,25 +32,68 @@ def stage_path(root: str, stage: str) -> str:
     return os.path.join(root, f"stage={stage}")
 
 
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg catalog, or None.
+
+    The ship shape (BASELINE.json) checkpoints to Iceberg tables with
+    snapshot lineage; that needs BOTH the iceberg-spark-runtime jar on the
+    JVM classpath and a `spark.sql.catalog.<name>` conf pointing at
+    org.apache.iceberg.spark.SparkCatalog. Detected at runtime so the same
+    code ships unchanged: on a cluster with Iceberg configured the states
+    land in `<catalog>.cms_topn_ckpt.stage_<stage>` via writeTo; in this
+    sandbox (no jar) it returns None and the Parquet stand-in below runs."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        return None
+    for k, v in spark.sparkContext.getConf().getAll():
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and "iceberg" in v:
+            return k.rsplit(".", 1)[1]
+    return None
+
+
+def _iceberg_table(catalog: str, stage: str) -> str:
+    safe = "".join(c if c.isalnum() else "_" for c in stage)
+    return f"{catalog}.cms_topn_ckpt.stage_{safe}"
+
+
 def checkpoint_states(states: DataFrame, root: str, stage: str, run_id: str) -> str:
-    path = stage_path(root, stage)
-    (
+    """Write a stage checkpoint; returns the path (or Iceberg table name).
+
+    With an Iceberg catalog configured (see :func:`iceberg_catalog`) the
+    frame lands as an Iceberg table via ``writeTo(...).createOrReplace()`` —
+    snapshot history gives per-stage lineage for free; otherwise Parquet
+    under ``root`` with the lineage columns embedded."""
+    spark = states.sparkSession
+    lineage = (
         states.withColumn("stage", F.lit(stage))
         .withColumn("run_id", F.lit(run_id))
         .withColumn("created_ts", F.current_timestamp())
-        .write.mode("overwrite")
-        .parquet(path)
     )
+    cat = iceberg_catalog(spark)
+    if cat is not None:
+        table = _iceberg_table(cat, stage)
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {cat}.cms_topn_ckpt")
+        lineage.writeTo(table).createOrReplace()
+        return table
+    path = stage_path(root, stage)
+    lineage.write.mode("overwrite").parquet(path)
     return path
 
 
 def has_checkpoint(spark: SparkSession, root: str, stage: str) -> bool:
+    cat = iceberg_catalog(spark)
+    if cat is not None:
+        return spark.catalog.tableExists(_iceberg_table(cat, stage))
     path = stage_path(root, stage)
     success = os.path.join(path, "_SUCCESS")
     return os.path.exists(success)
 
 
 def read_checkpoint(spark: SparkSession, root: str, stage: str) -> DataFrame:
+    cat = iceberg_catalog(spark)
+    if cat is not None:
+        return spark.read.table(_iceberg_table(cat, stage))
     return spark.read.parquet(stage_path(root, stage))
 
 

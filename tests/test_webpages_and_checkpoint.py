@@ -107,3 +107,11 @@ class TestCheckpoint:
         direct = cms_topn_add_agg(df, "host", n=3)
         assert resumed.topn_list() == direct.topn_list()
         assert np.array_equal(resumed.counters, direct.counters)
+
+
+def test_iceberg_runtime_detection_falls_back_to_parquet(spark):
+    """No iceberg-spark-runtime jar in this sandbox: detection must return
+    None (not raise) and the checkpoint path must be the Parquet stand-in."""
+    from cms_topn_spark.plans import checkpoint as cp
+
+    assert cp.iceberg_catalog(spark) is None
