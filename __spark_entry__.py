@@ -616,18 +616,24 @@ def q_cms_vocab_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass 2 probes every token's corpus frequency through the vectorized
     frequency_udf and reports per-doc rare-token counts (the OOV/noise signal
     quality filters threshold on). Run in the collision-negligible width
-    (ε=2e-5 ⇒ w=135915 ≫ vocabulary) so the exact GROUP-BY oracle applies."""
+    (ε=2e-5 ⇒ w=135915 ≫ vocabulary) so the exact GROUP-BY oracle applies.
+
+    Pass 2 is a PURE MAP (rare_token_probe_udf): each task splits its own
+    documents, probes every token in one packed pass, and segment-sums per
+    doc — zero exchanges. The previous explode → probe → groupBy(doc_id)
+    plan shuffled one row PER TOKEN (~50× the corpus's document count) to
+    reassemble rows that were never apart; at 100 TB that exchange IS the
+    job, and it existed only as a formulation artifact."""
+    from cms_topn_spark.functions.sketch_api import rare_token_probe_udf
+
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
     sk = cms_topn_add_agg(toks, "tok", n=5, e=0.00002)
-    probe = frequency_udf(sk.to_bytes())
-    return (
-        toks.withColumn("freq", probe(F.col("tok")))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum((F.col("freq") < 10).cast("long")).alias("n_rare_tokens"),
-        )
+    probe = rare_token_probe_udf(sk.to_bytes(), threshold=10)
+    return docs.select("doc_id", probe(F.col("text")).alias("_s")).select(
+        "doc_id",
+        F.col("_s.n_tokens").alias("n_tokens"),
+        F.col("_s.n_rare_tokens").alias("n_rare_tokens"),
     )
 
 

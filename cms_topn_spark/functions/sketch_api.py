@@ -336,6 +336,45 @@ def frequency_udf(sketch_bytes: bytes):
     return probe
 
 
+def rare_token_probe_udf(sketch_bytes: bytes, threshold: int, delimiter: str = " "):
+    """Per-document rare-token statistics as a PURE MAP: split each text,
+    probe EVERY token against the broadcast sketch in one packed Murmur pass,
+    and segment-sum per document — returns a struct (n_tokens,
+    n_rare_tokens) per row.
+
+    This is the 100-TB shape for "how many below-threshold-frequency tokens
+    does each document contain": the explode→probe→groupBy(doc_id)
+    formulation shuffles one row PER TOKEN (a corpus-token-count-sized
+    exchange ~50× the document count) to recombine what was never apart;
+    here tokens never leave the task and the plan has zero exchanges."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("n_tokens", LongType()),
+            StructField("n_rare_tokens", LongType()),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def probe(texts: pd.Series) -> pd.DataFrame:
+        sk = _cached_sketch(sketch_bytes)
+        toks = texts.fillna("").str.split(delimiter)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"n_tokens": lens, "n_rare_tokens": lens})
+        flat = pa.Array.from_pandas(toks.explode(), type=pa.string())
+        data, offsets, lengths, _tag = pack_arrow_array(flat)
+        est = sk.estimate_packed(data, offsets, lengths)
+        rare = np.concatenate(([0], np.cumsum(est < threshold, dtype=np.int64)))
+        ends = np.cumsum(lens)
+        return pd.DataFrame(
+            {"n_tokens": lens, "n_rare_tokens": rare[ends] - rare[ends - lens]}
+        )
+
+    return probe
+
+
 def mask_udf(mms_bytes: bytes):
     """Vectorized mms_get_mask column probe (§2.1 #8) — the distributed form
     of probing a min-mask sketch for a whole column of items; mirrors

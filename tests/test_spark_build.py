@@ -339,3 +339,40 @@ class TestSketchColumnForms:
         got = [(r["item"], r["frequency"]) for r in exploded.collect()]
         assert got == driver_level
         assert all(isinstance(i, int) for i, _ in got)
+
+
+def test_rare_token_probe_udf_matches_explode_groupby(spark, sf001_dir):
+    """The shuffle-free per-doc rare-token map equals the explode→probe→
+    groupBy formulation row-for-row (collision-negligible width)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cms_topn_spark.functions.sketch_api import (
+        cms_topn_add_agg,
+        frequency_udf,
+        rare_token_probe_udf,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf001_dir, "documents.parquet"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    sk = cms_topn_add_agg(toks, "tok", n=5, e=0.00002)
+    probe = rare_token_probe_udf(sk.to_bytes(), threshold=10)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_rare_tokens"])
+        for r in docs.select("doc_id", probe("text").alias("s")).collect()
+        for r in [r.asDict() | dict(r["s"].asDict())]
+    }
+    old = frequency_udf(sk.to_bytes())
+    want = {
+        r["doc_id"]: (r["n"], r["r"])
+        for r in toks.withColumn("f", old("tok"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n"), F.sum((F.col("f") < 10).cast("long")).alias("r"))
+        .collect()
+    }
+    assert got == want
+    # plan shape: the map form has NO exchange
+    plan = docs.select("doc_id", probe("text")).sparkSession is not None
+    explained = docs.select("doc_id", probe("text"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in explained
