@@ -119,6 +119,28 @@ def numeric_ingest(sketch, batch: pa.RecordBatch) -> None:
     sketch.add_batch(arr.to_numpy(zero_copy_only=False).astype(np.float64))
 
 
+_NPARTS_CACHE: dict = {}
+
+
+def plan_num_partitions(df: DataFrame) -> int:
+    """Partition count of a DataFrame, memoized by the plan's semantic hash.
+
+    ``df.rdd.getNumPartitions()`` is the only public API but forces a
+    plan→RDD conversion (~10 ms fixed driver cost) per call; memoizing makes
+    repeated operator calls over the same source (the bench-loop shape)
+    probe once. A hash collision can only mis-route a perf-only heuristic
+    (direct-collect vs tree-merge, spread-or-not), never correctness —
+    cheaper than materializing the states frame through the block cache,
+    which costs ~0.3 s per call for MB-sized sketch states."""
+    key = df.semanticHash()
+    n = _NPARTS_CACHE.get(key)
+    if n is None:
+        if len(_NPARTS_CACHE) > 256:
+            _NPARTS_CACHE.clear()
+        n = _NPARTS_CACHE[key] = df.rdd.getNumPartitions()
+    return n
+
+
 def build_partials(
     df: DataFrame,
     factory: Callable[[], object],
@@ -219,19 +241,16 @@ def sketch_agg(
     merged on the driver (P sketch-sized rows; merging is O(P·d·w) numpy adds,
     microseconds per state). The shuffle tree only pays off when P is large —
     at 1000-executor scale — so it kicks in above ``direct_collect_limit``."""
-    states = build_partials(df, factory, ingest, salt_partitions).persist()
-    # one action over sketch-sized rows: the expensive build runs exactly once
-    # (persisted), and the row count IS the partition count — no plan→RDD
-    # conversion on the input frame to probe it
-    n_parts = states.count()
+    states = build_partials(df, factory, ingest, salt_partitions)
+    n_parts = (
+        plan_num_partitions(df) if salt_partitions is None else salt_partitions
+    )
     merged_df = None
     if n_parts > direct_collect_limit:
-        merged_df = tree_merge_df(states, fanin)
-        rows = merged_df.collect()
+        states = merged_df = tree_merge_df(states, fanin)
+    rows = states.collect()
+    if merged_df is not None:
         merged_df.unpersist()  # tree_merge_df leaves its last level cached
-    else:
-        rows = states.collect()
-    states.unpersist()
     acc = None
     for r in rows:
         if r["state"] is not None:

@@ -310,27 +310,15 @@ def _band_keys_from_sig(sig: np.ndarray) -> np.ndarray:
     return key
 
 
-_NPARTS_CACHE: dict = {}
-
-
 def _spread(df: DataFrame) -> DataFrame:
     """Signature work is CPU-bound in the worker: spread an under-partitioned
     corpus across the cluster before the mapInArrow (no-op at real scale,
-    where the input already has >= cores partitions).
+    where the input already has >= cores partitions). The partition probe is
+    memoized by plan semantic hash (see build.plan_num_partitions)."""
+    from .build import plan_num_partitions
 
-    ``df.rdd.getNumPartitions()`` is the only public partition-count API but
-    forces a plan→RDD conversion (fixed driver cost), so the count is
-    memoized by the plan's semantic hash — repeated operator calls over the
-    same source (the bench loop shape) probe once. A hash collision can only
-    mis-decide this perf-only repartition, never correctness."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    key = df.semanticHash()
-    n = _NPARTS_CACHE.get(key)
-    if n is None:
-        if len(_NPARTS_CACHE) > 256:
-            _NPARTS_CACHE.clear()
-        n = _NPARTS_CACHE[key] = df.rdd.getNumPartitions()
-    if n < parallelism:
+    if plan_num_partitions(df) < parallelism:
         df = df.repartition(parallelism)
     return df
 
