@@ -637,6 +637,30 @@ def q_cms_vocab_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (functions/sketch_api.py bloom_anti_join):
+    dedupe a "new crawl batch" (doc_id ≡ 0 mod 3) against the "existing
+    corpus" (the rest) WITHOUT joining against it — one scan of the old
+    corpus builds an OR-merged Bloom filter over content digests, and the
+    new batch filters as a pure broadcast-probe map (no shuffle touches
+    either side). The growing-corpus shape: prior snapshots never re-join.
+    fpp=1e-9 makes the one-sided false-positive drop probability ≪ 1 for
+    any sandbox corpus, so the exact NOT-IN oracle applies; at 10⁹-key
+    scale fpp trades retention for filter size (docstring)."""
+    from cms_topn_spark.functions.sketch_api import bloom_anti_join
+    from cms_topn_spark.sources.parquet_meta import parquet_row_count
+
+    docs = _t(spark, sf_dir, "documents")
+    cap = max(parquet_row_count(os.path.join(sf_dir, "documents.parquet")), 1)
+    old = docs.where(F.col("doc_id") % 3 != 0).select(
+        F.md5(F.col("text")).alias("digest")
+    )
+    new = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.md5(F.col("text")).alias("digest")
+    )
+    return bloom_anti_join(new, "digest", old, "digest", capacity=cap, fpp=1e-9)
+
+
 SAMPLE_FRACTIONS = {"en": 0.4, "und": 1.0}
 
 
@@ -706,6 +730,7 @@ _ORDER: dict[str, str] = {
     "doc_fingerprints": "doc_id",
     "tfidf_top_terms": "doc_id, rank",
     "exact_dedup": "doc_id",
+    "incremental_dedup": "doc_id",
     "jaccard_pairs": "a_id, b_id",
     "jaccard_pairs_pruned": "a_id, b_id",
     "minhash_lsh_pairs": "a_id, b_id",
@@ -797,6 +822,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "tfidf_top_terms": q_tfidf_top_terms,
         "exact_dedup": q_exact_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -940,6 +966,21 @@ def _raw_oracle_sql() -> dict[str, str]:
         "doc_fingerprints": textops.fingerprints_sql(),
         "tfidf_top_terms": textops.tfidf_top_terms_sql(k=3),
         "exact_dedup": dedup.exact_dedup_sql(),
+        # bloom anti-join vs the exact NOT-IN: at fpp=1e-9 the expected
+        # false-positive drop count is ~5e-7 rows on this corpus, so the
+        # filter's output equals the exact set (same philosophy as the
+        # collision-negligible sketch widths)
+        "incremental_dedup": """
+            WITH old AS (
+              SELECT md5(text) AS digest FROM documents WHERE doc_id % 3 <> 0
+            ),
+            new AS (
+              SELECT doc_id, md5(text) AS digest FROM documents
+              WHERE doc_id % 3 = 0
+            )
+            SELECT doc_id, digest FROM new
+            WHERE digest NOT IN (SELECT digest FROM old)
+        """,
         "jaccard_pairs": jaccard,
         "jaccard_pairs_pruned": dedup.jaccard_pairs_pruned_sql(
             "documents", 0.8, JACCARD_MAX_DF

@@ -471,3 +471,30 @@ def bloom_semi_join(
     if bf is None:  # empty build side: nothing can match
         return probe.where(F.lit(False))
     return probe.where(bloom_contains_udf(bf.to_bytes())(F.col(probe_key)))
+
+
+def bloom_anti_join(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    capacity: int,
+    fpp: float = 1e-6,
+) -> DataFrame:
+    """Anti-join ``probe`` against a Bloom filter of ``build[build_key]``:
+    keep the probe rows whose key is definitely NOT in the build side.
+
+    The incremental-dedup primitive for a growing corpus: dedupe a new crawl
+    batch against N prior snapshots WITHOUT joining against them — one scan
+    of the old corpus builds the filter (OR-merged partials), the new batch
+    filters as a pure map. One-sided error: a false positive DROPS a genuinely
+    new row (rate ``fpp``, tune per the retention budget); kept rows are
+    guaranteed new (no false negatives ⇒ no duplicate survives). At 10⁹ old
+    keys and fpp=1e-6 the filter is ~3.6 GB — raise fpp or partition both
+    sides by key range and build per-range filters (bloom_semi_join note)."""
+    bf = sketch_agg(
+        build.select(build_key), lambda: BloomFilter(capacity, fpp), default_ingest
+    )
+    if bf is None:  # empty old corpus: everything is new
+        return probe
+    return probe.where(~bloom_contains_udf(bf.to_bytes())(F.col(probe_key)))

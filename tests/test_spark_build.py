@@ -376,3 +376,23 @@ def test_rare_token_probe_udf_matches_explode_groupby(spark, sf001_dir):
     plan = docs.select("doc_id", probe("text")).sparkSession is not None
     explained = docs.select("doc_id", probe("text"))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in explained
+
+
+def test_bloom_anti_join_matches_exact_and_handles_empty_build(spark, sf001_dir):
+    """Anti-join keeps exactly the keys NOT in the build side (fpp makes a
+    false drop negligible), and an empty old corpus passes everything."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cms_topn_spark.functions.sketch_api import bloom_anti_join
+
+    docs = spark.read.parquet(os.path.join(sf001_dir, "documents.parquet"))
+    old = docs.where(F.col("doc_id") % 3 != 0).select(F.md5("text").alias("k"))
+    new = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", F.md5("text").alias("k"))
+    got = {r["doc_id"] for r in bloom_anti_join(new, "k", old, "k", capacity=600, fpp=1e-9).collect()}
+    want = {r["doc_id"] for r in new.join(old, "k", "left_anti").collect()}
+    assert got == want and got  # nonempty and exact
+    empty = old.where(F.lit(False))
+    all_new = {r["doc_id"] for r in bloom_anti_join(new, "k", empty, "k", capacity=600).collect()}
+    assert all_new == {r["doc_id"] for r in new.collect()}
