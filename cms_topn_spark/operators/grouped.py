@@ -227,3 +227,37 @@ def grouped_quantiles(
             yield pd.DataFrame(out)
 
     return states.mapInPandas(read_quantiles, schema)
+
+
+def grouped_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 14,
+    sparse_limit: int | None = 1 << 22,
+    out_col: str = "distinct_values",
+) -> DataFrame:
+    """Per-group distinct counts at ANY group cardinality — HLL states built
+    map-side and merged through the same states-only exchange as the CMS/KLL
+    grouped forms; the readout runs distributed (mapInPandas), so no state
+    reaches the driver. Exact while each group's distinct count stays within
+    the sparse-exact regime (``sparse_limit``); beyond it the standard HLL
+    error bound (~1.04/√2^p) applies per group."""
+    from ..core.base import sketch_from_bytes
+    from ..core.hll import HyperLogLog
+
+    gtype = dict(df.dtypes)[group_col]
+    states = grouped_sketch_states(
+        df, group_col, value_col, lambda: HyperLogLog(p=p, sparse_limit=sparse_limit)
+    )
+    schema = f"{group_col} {gtype}, {out_col} long"
+
+    def readout(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out_g, out_n = [], []
+            for g, st in zip(pdf[group_col], pdf["state"]):
+                out_g.append(g)
+                out_n.append(int(sketch_from_bytes(bytes(st)).estimate()))
+            yield pd.DataFrame({group_col: out_g, out_col: out_n})
+
+    return states.mapInPandas(readout, schema)

@@ -184,3 +184,30 @@ def test_grouped_quantiles_compacting_regime_bounded_error(spark, sf001_dir):
 
         r = bisect.bisect_left(vals, est) / max(len(vals) - 1, 1)
         assert 0.25 <= r <= 0.75, (uid, est, r)
+
+
+def test_grouped_distinct_sparse_exact_and_estimate_regime(spark, sf001_dir):
+    """Sparse regime: per-group distinct counts equal COUNT(DISTINCT)
+    exactly; with sparse conversion forced off the estimate stays within the
+    HLL error envelope."""
+    from cms_topn_spark.operators.grouped import grouped_distinct
+
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    got = {
+        r["user_id"]: r["distinct_values"]
+        for r in grouped_distinct(events, "user_id", "event_id").collect()
+    }
+    want = {
+        r["user_id"]: r["d"]
+        for r in events.groupBy("user_id")
+        .agg(F.countDistinct("event_id").alias("d"))
+        .collect()
+    }
+    assert got == want
+    # dense regime (sparse_limit=0 forces registers): within ~3 sigma of 0.81%
+    est = {
+        r["user_id"]: r["distinct_values"]
+        for r in grouped_distinct(events, "user_id", "event_id", sparse_limit=0).collect()
+    }
+    for uid, d in want.items():
+        assert abs(est[uid] - d) <= max(3, 0.05 * d)
