@@ -577,6 +577,49 @@ def q_grouped_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup via Spark's BUILT-IN stateful operator: the
+    documents table streams in as 4 files (availableNow, one per
+    micro-batch), ``dropDuplicates`` on the content digest carries its seen-
+    set in Spark-managed state across micro-batches, and the surviving
+    digest set must equal the batch SELECT DISTINCT oracle. Complements the
+    custom stateful gates (keyed topn, windowed sketches): where the
+    engine's own operator expresses the semantics, we use it — state
+    management, checkpointing, and exactly-once come for free. Output is
+    the digest set (not doc ids), so the check is independent of which
+    arrival-order representative the stream happened to keep."""
+    import shutil
+    import tempfile
+    import uuid
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    qn = "stream_dedup_" + uuid.uuid4().hex
+    try:
+        src = os.path.join(tmp, "in")
+        docs.select(F.md5(F.col("text")).alias("digest")).repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("digest string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .dropDuplicates(["digest"])
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [(r["digest"],) for r in spark.sql(f"SELECT digest FROM {qn}").collect()]
+    finally:
+        spark.catalog.dropTempView(qn)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "digest string")
+
+
 def q_grouped_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group DISTINCT counts in the map-side-combine scale form
     (operators/grouped.py grouped_distinct): distinct active days per user —
@@ -739,6 +782,7 @@ _ORDER: dict[str, str] = {
     "stream_event_type_counts": "frequency DESC, item",
     "stream_keyed_topn": "key",
     "stream_windowed_topn": "window_start, frequency DESC, item",
+    "stream_dedup": "digest",
     "grouped_kll_quantiles": "user_id",
     "grouped_user_days": "user_id",
     "ann_lsh_planted_topk": "query_id, rank",
@@ -832,6 +876,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_event_type_counts": q_stream_event_type_counts,
         "stream_keyed_topn": q_stream_keyed_topn,
         "stream_windowed_topn": q_stream_windowed_topn,
+        "stream_dedup": q_stream_dedup,
         "grouped_kll_quantiles": q_grouped_kll_quantiles,
         "grouped_user_days": q_grouped_user_days,
         "ann_lsh_planted_topk": q_ann_lsh_planted_topk,
@@ -945,6 +990,9 @@ def _raw_oracle_sql() -> dict[str, str]:
             SELECT epoch(date_trunc('day', ts))::BIGINT AS window_start,
                    event_type AS item, count(*)::BIGINT AS frequency
             FROM events GROUP BY window_start, item
+        """,
+        "stream_dedup": """
+            SELECT DISTINCT md5(text) AS digest FROM documents
         """,
         "grouped_kll_quantiles": """
             SELECT user_id,
