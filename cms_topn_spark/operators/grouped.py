@@ -60,15 +60,15 @@ def grouped_sketch_states(
 
     def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         sketches: dict = {}
-        for rb in batches:
-            tbl = pa.Table.from_batches([rb]).combine_chunks()
+
+        def dice(tbl: pa.Table) -> None:
             keys = tbl.column(0)
             order = pc.sort_indices(keys)
             tbl = tbl.take(order)
             keys = tbl.column(0).combine_chunks()
             vals = tbl.column(1).combine_chunks()
             if len(keys) == 0:
-                continue
+                return
             # group boundaries on the sorted key column (C++-side compare)
             kn = keys.to_numpy(zero_copy_only=False)
             bounds = np.flatnonzero(
@@ -86,6 +86,22 @@ def grouped_sketch_states(
                 if sk is None:
                     sk = sketches[key] = factory()
                 ingest(sk, sl)
+
+        # buffer a bounded row window before dicing: one sort + one Python
+        # group loop per ~512k rows instead of per 10k-row Arrow batch —
+        # at G groups in the task this is G slice-ingests per window, not
+        # G × (batches in window). Bounded, so a wide-text partition can
+        # never force whole-partition buffering.
+        pend: list = []
+        pend_rows = 0
+        for rb in batches:
+            pend.append(rb)
+            pend_rows += rb.num_rows
+            if pend_rows >= 524_288:
+                dice(pa.Table.from_batches(pend).combine_chunks())
+                pend, pend_rows = [], 0
+        if pend:
+            dice(pa.Table.from_batches(pend).combine_chunks())
         if sketches:
             ks = list(sketches.keys())
             yield pa.RecordBatch.from_pydict(
