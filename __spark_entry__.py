@@ -577,6 +577,20 @@ def q_grouped_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py contamination_report):
+    split the documents table into a "train corpus" (doc_id % 10 ≠ 0) and an
+    "eval benchmark" (doc_id % 10 = 0), then report, per eval document, how
+    many train documents CONTAIN ≥ 90 % of its char-5-gram set and the
+    maximum containment — the pre-training leak check. Containment (not
+    Jaccard): a quoted eval item inside a larger train page must flag.
+    Integer ppm division keeps the decision and maximum engine-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    return dedup.contamination_report(train, ev, threshold_ppm=900_000)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup via Spark's BUILT-IN stateful operator: the
     documents table streams in as 4 files (availableNow, one per
@@ -800,6 +814,7 @@ _ORDER: dict[str, str] = {
     "tfidf_top_terms": "doc_id, rank",
     "exact_dedup": "doc_id",
     "incremental_dedup": "doc_id",
+    "contamination_report": "eval_id",
     "jaccard_pairs": "a_id, b_id",
     "jaccard_pairs_pruned": "a_id, b_id",
     "minhash_lsh_pairs": "a_id, b_id",
@@ -894,6 +909,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "exact_dedup": q_exact_dedup,
         "incremental_dedup": q_incremental_dedup,
+        "contamination_report": q_contamination_report,
         "jaccard_pairs": q_jaccard_pairs,
         "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1060,6 +1076,11 @@ def _raw_oracle_sql() -> dict[str, str]:
             SELECT doc_id, digest FROM new
             WHERE digest NOT IN (SELECT digest FROM old)
         """,
+        "contamination_report": dedup.contamination_report_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
+            threshold_ppm=900_000,
+        ),
         "jaccard_pairs": jaccard,
         "jaccard_pairs_pruned": dedup.jaccard_pairs_pruned_sql(
             "documents", 0.8, JACCARD_MAX_DF

@@ -165,6 +165,85 @@ def jaccard_pairs_pruned(
     return _jaccard_from_shingles(kept, threshold, id_col)
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold_ppm: int = 900_000,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: for each EVAL document, how many TRAIN
+    documents contain ≥ threshold of its char-k-gram set, and the maximum
+    containment found — the report a pretraining pipeline runs before
+    training to drop leaked eval items (or flag the train docs carrying
+    them).
+
+    Containment |train ∩ eval| / |eval| (not symmetric Jaccard): an eval
+    question quoted inside a much larger train page must flag even though
+    the pair's Jaccard is tiny. Computed in parts-per-million via INTEGER
+    division, so the decision and the reported maximum are engine-exact.
+
+    Scale shape: both gram sets shuffle as xxhash64 longs through one
+    inverted-index join keyed on the gram — the same uniform key the dedup
+    family uses; the eval side is tiny (benchmarks), so AQE broadcasts it.
+    ``max_df`` prunes grams whose TRAIN document frequency exceeds it
+    (boilerplate bound, as :func:`jaccard_pairs_pruned`): pruned grams leave
+    BOTH the intersection and the eval denominator, keeping the metric
+    well-defined over the surviving gram space; eval grams absent from the
+    train corpus always survive (df = 0) and count against containment."""
+    tg = _shingle_rows(train, id_col, text_col).select(F.col(id_col).alias("t_id"), "g")
+    eg = _shingle_rows(eval_df, id_col, text_col).select(F.col(id_col).alias("e_id"), "g")
+    if max_df is not None:
+        common = (
+            tg.groupBy("g").agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("g")
+        )
+        tg = tg.join(common, "g", "left_anti")
+        eg = eg.join(common, "g", "left_anti")
+    sizes = eg.groupBy("e_id").agg(F.count("*").alias("sz"))
+    inter = tg.join(eg, "g").groupBy("t_id", "e_id").agg(F.count("*").alias("i"))
+    pairs = (
+        inter.join(sizes, "e_id")
+        .withColumn("ppm", F.expr("(1000000 * i) div sz"))
+        .where(F.col("ppm") >= threshold_ppm)
+    )
+    return (
+        pairs.groupBy("e_id")
+        .agg(
+            F.count("*").cast("long").alias("n_train_matches"),
+            F.max("ppm").cast("long").alias("max_containment_ppm"),
+        )
+        .select(F.col("e_id").alias("eval_id"), "n_train_matches", "max_containment_ppm")
+    )
+
+
+def contamination_report_sql(
+    train_sql: str, eval_sql: str, threshold_ppm: int = 900_000
+) -> str:
+    """Oracle for :func:`contamination_report` (exact, un-pruned regime):
+    ``train_sql`` / ``eval_sql`` must yield (doc_id, text)."""
+    return f"""
+    WITH train_docs AS ({train_sql}),
+    eval_docs AS ({eval_sql}),
+    tg AS (SELECT doc_id AS t_id, unnest({_shingle_sql()}) AS g FROM train_docs),
+    eg AS (SELECT doc_id AS e_id, unnest({_shingle_sql()}) AS g FROM eval_docs),
+    sizes AS (SELECT e_id, count(*) AS sz FROM eg GROUP BY e_id),
+    inter AS (
+      SELECT t_id, e_id, count(*) AS i FROM tg JOIN eg USING (g) GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT t_id, e_id, (1000000 * i) // sz AS ppm
+      FROM inter JOIN sizes USING (e_id)
+      WHERE (1000000 * i) // sz >= {threshold_ppm}
+    )
+    SELECT e_id AS eval_id, count(*)::BIGINT AS n_train_matches,
+           max(ppm)::BIGINT AS max_containment_ppm
+    FROM pairs GROUP BY e_id
+    """
+
+
 def jaccard_pairs_pruned_sql(
     table: str = "documents", threshold: float = 0.8, max_df: int = 100
 ) -> str:

@@ -572,3 +572,42 @@ class TestLangIdNgram:
         from cms_topn_spark.operators import textops
 
         compare(textops.lang_id_ngram(docs), con, textops.lang_id_ngram_sql())
+
+
+class TestContamination:
+    def test_quoted_eval_item_flags_via_containment_not_jaccard(self, spark):
+        """An eval question quoted inside a much larger train page must flag
+        (containment 1.0) even though the pair's symmetric Jaccard is tiny."""
+        from cms_topn_spark.operators import dedup
+
+        eval_text = "what is the capital of france"
+        train_text = ("lorem ipsum dolor sit amet " * 20) + eval_text + (
+            " consectetur adipiscing elit " * 20
+        )
+        train = spark.createDataFrame([(1, train_text), (2, "unrelated page text")],
+                                      "doc_id long, text string")
+        ev = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+        got = dedup.contamination_report(train, ev, threshold_ppm=900_000).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["eval_id"] == 100 and r["n_train_matches"] == 1
+        assert r["max_containment_ppm"] == 1_000_000  # full containment
+        # the same pair is invisible to symmetric Jaccard at any real threshold
+        both = train.unionByName(ev)
+        jac = dedup.jaccard_pairs_exact(both, threshold=0.5).collect()
+        assert (1, 100) not in {(p["a_id"], p["b_id"]) for p in jac}
+
+    def test_pruned_containment_well_defined(self, spark):
+        """max_df pruning removes boilerplate grams from BOTH intersection
+        and denominator — an eval doc made of ubiquitous grams only cannot
+        divide by zero or flag spuriously."""
+        from cms_topn_spark.operators import dedup
+
+        boiler = "the the the the the the the the"
+        train = spark.createDataFrame(
+            [(i, f"{boiler} unique{i} content") for i in range(5)],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
+        out = dedup.contamination_report(train, ev, threshold_ppm=500_000, max_df=3).collect()
+        assert out == []  # all of eval's grams pruned ⇒ no sz row ⇒ no flag
