@@ -577,6 +577,18 @@ def q_grouped_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (operators/textops.py chunk_documents): every
+    document split into overlapping 32-token windows at stride 16 — the
+    training-example preparation step. Pure Catalyst higher-order exprs:
+    whole-stage-codegen map, zero shuffle, no Python."""
+    from cms_topn_spark.operators.textops import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=16
+    )
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/dedup.py contamination_report):
     split the documents table into a "train corpus" (doc_id % 10 ≠ 0) and an
@@ -815,6 +827,7 @@ _ORDER: dict[str, str] = {
     "exact_dedup": "doc_id",
     "incremental_dedup": "doc_id",
     "contamination_report": "eval_id",
+    "doc_chunks": "doc_id, chunk_id",
     "jaccard_pairs": "a_id, b_id",
     "jaccard_pairs_pruned": "a_id, b_id",
     "minhash_lsh_pairs": "a_id, b_id",
@@ -910,6 +923,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "incremental_dedup": q_incremental_dedup,
         "contamination_report": q_contamination_report,
+        "doc_chunks": q_doc_chunks,
         "jaccard_pairs": q_jaccard_pairs,
         "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1076,6 +1090,9 @@ def _raw_oracle_sql() -> dict[str, str]:
             SELECT doc_id, digest FROM new
             WHERE digest NOT IN (SELECT digest FROM old)
         """,
+        "doc_chunks": textops.chunk_documents_sql(
+            "documents", chunk_tokens=32, stride=16
+        ),
         "contamination_report": dedup.contamination_report_sql(
             "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0",
             "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",

@@ -348,3 +348,56 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 
 def fingerprints_sql(table: str = "documents") -> str:
     return f"SELECT doc_id, md5(text) AS fp FROM {table}"
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-window document chunking: (doc_id, chunk_id, n_tokens, chunk).
+
+    The training-example preparation step — split every document into
+    whitespace-token windows of ``chunk_tokens`` starting every ``stride``
+    tokens (stride < chunk_tokens ⇒ overlapping windows, the usual LM
+    setting; the final partial window is kept). Pure Catalyst higher-order
+    expressions: at 100 TB this is a whole-stage-codegen map with NO shuffle
+    and no Python — the output rows are (docs × windows) and stream straight
+    to the sink or the tokenizer stage."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = f"split({text_col}, ' ')"
+    starts = f"sequence(0, size(_t) - 1, {stride})"
+    return (
+        df.select(F.col(id_col), F.expr(toks).alias("_t"))
+        .select(F.col(id_col), "_t", F.explode(F.expr(starts)).alias("_start"))
+        .select(
+            F.col(id_col),
+            F.expr(f"_start div {stride}").cast("long").alias("chunk_id"),
+            F.expr(f"size(slice(_t, _start + 1, {chunk_tokens}))")
+            .cast("long")
+            .alias("n_tokens"),
+            F.expr(f"array_join(slice(_t, _start + 1, {chunk_tokens}), ' ')").alias(
+                "chunk"
+            ),
+        )
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents", chunk_tokens: int = 128, stride: int = 64
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM {table}
+    ),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, len(t), {stride})) AS s FROM toks
+    )
+    SELECT doc_id, (s // {stride})::BIGINT AS chunk_id,
+           len(t[s + 1 : s + {chunk_tokens}])::BIGINT AS n_tokens,
+           array_to_string(t[s + 1 : s + {chunk_tokens}], ' ') AS chunk
+    FROM starts
+    """

@@ -611,3 +611,48 @@ class TestContamination:
         ev = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
         out = dedup.contamination_report(train, ev, threshold_ppm=500_000, max_df=3).collect()
         assert out == []  # all of eval's grams pruned ⇒ no sz row ⇒ no flag
+
+
+class TestChunking:
+    def test_chunk_boundaries_and_overlap(self, spark):
+        from cms_topn_spark.operators import textops
+
+        rows = [
+            (1, ""),                      # empty: split -> [''] -> one chunk
+            (2, "a"),                     # single token
+            (3, "a b c d"),               # exactly chunk size
+            (4, "a b c d e"),             # one full + one partial window
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk"])
+            for r in textops.chunk_documents(df, chunk_tokens=4, stride=2).collect()
+        }
+        assert got[(1, 0)] == (1, "")
+        assert got[(2, 0)] == (1, "a")
+        assert got[(3, 0)] == (4, "a b c d") and got[(3, 1)] == (2, "c d")
+        assert got[(4, 0)] == (4, "a b c d")
+        assert got[(4, 1)] == (3, "c d e")
+        assert got[(4, 2)] == (1, "e")
+        # oracle parity on the same edge corpus
+        import duckdb
+
+        c = duckdb.connect()
+        c.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        c.executemany("INSERT INTO d VALUES (?, ?)", rows)
+        oracle = {
+            (r[0], r[1]): (r[2], r[3])
+            for r in c.execute(textops.chunk_documents_sql("d", 4, 2)).fetchall()
+        }
+        assert got == oracle
+
+    def test_chunk_plan_has_no_exchange(self, spark, sf001_dir):
+        import os
+
+        from cms_topn_spark.operators import textops
+
+        docs = spark.read.parquet(os.path.join(sf001_dir, "documents.parquet"))
+        plan = (
+            textops.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
