@@ -577,6 +577,25 @@ def q_grouped_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship one-scan multi-sketch shape UNDER the oracle gate
+    (plans/profile.py): a single pass over documents builds token CMS top-n
+    + distinct-text HLL + token-length KLL as one composite mergeable state;
+    every reported statistic reads from the merged state. Exact regimes
+    throughout (collision-negligible CMS width, sparse-exact HLL,
+    no-compaction KLL), so the multi-subquery SQL oracle applies. At 100 TB
+    this is N corpus-statistics jobs collapsed into one scan whose exchange
+    is a few sketch-sized rows."""
+    from cms_topn_spark.plans.profile import corpus_profile
+
+    p = corpus_profile(_t(spark, sf_dir, "documents"))
+    return spark.createDataFrame(
+        [tuple(p.values())],
+        "distinct_texts long, total_tokens long, top_token string, "
+        "top_token_freq long, len_q25 double, len_q50 double, len_q75 double",
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (operators/textops.py chunk_documents): every
     document split into overlapping 32-token windows at stride 16 — the
@@ -828,6 +847,7 @@ _ORDER: dict[str, str] = {
     "incremental_dedup": "doc_id",
     "contamination_report": "eval_id",
     "doc_chunks": "doc_id, chunk_id",
+    "corpus_profile": "distinct_texts",
     "jaccard_pairs": "a_id, b_id",
     "jaccard_pairs_pruned": "a_id, b_id",
     "minhash_lsh_pairs": "a_id, b_id",
@@ -924,6 +944,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "contamination_report": q_contamination_report,
         "doc_chunks": q_doc_chunks,
+        "corpus_profile": q_corpus_profile,
         "jaccard_pairs": q_jaccard_pairs,
         "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1093,6 +1114,24 @@ def _raw_oracle_sql() -> dict[str, str]:
         "doc_chunks": textops.chunk_documents_sql(
             "documents", chunk_tokens=32, stride=16
         ),
+        "corpus_profile": """
+            WITH tok AS (
+              SELECT unnest(string_split(text, ' ')) AS t FROM documents
+            ),
+            tc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            top1 AS (SELECT t, c FROM tc ORDER BY c DESC, t LIMIT 1),
+            lens AS (
+              SELECT len(string_split(text, ' '))::DOUBLE AS n FROM documents
+            )
+            SELECT
+              (SELECT count(DISTINCT text) FROM documents)::BIGINT AS distinct_texts,
+              (SELECT count(*) FROM tok)::BIGINT AS total_tokens,
+              (SELECT t FROM top1) AS top_token,
+              (SELECT c FROM top1)::BIGINT AS top_token_freq,
+              (SELECT quantile_cont(n, 0.25) FROM lens) AS len_q25,
+              (SELECT quantile_cont(n, 0.5) FROM lens) AS len_q50,
+              (SELECT quantile_cont(n, 0.75) FROM lens) AS len_q75
+        """,
         "contamination_report": dedup.contamination_report_sql(
             "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0",
             "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",

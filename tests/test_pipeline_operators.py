@@ -656,3 +656,23 @@ class TestChunking:
             textops.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+def test_corpus_profile_one_scan_matches_exact(spark, docs, con):
+    """The composite one-scan profile equals independently computed exact
+    statistics (gate regimes: sparse HLL, collision-free CMS, exact KLL)."""
+    from cms_topn_spark.plans.profile import corpus_profile
+
+    p = corpus_profile(docs)
+    want = con.execute("""
+        WITH tok AS (SELECT unnest(string_split(text,' ')) AS t FROM documents),
+        tc AS (SELECT t, count(*) c FROM tok GROUP BY t)
+        SELECT (SELECT count(DISTINCT text) FROM documents),
+               (SELECT count(*) FROM tok),
+               (SELECT max(c) FROM tc),
+               (SELECT quantile_cont(len(string_split(text,' '))::DOUBLE, 0.5) FROM documents)
+    """).fetchone()
+    assert p["distinct_texts"] == want[0]
+    assert p["total_tokens"] == want[1]
+    assert p["top_token_freq"] == want[2]
+    assert p["len_q50"] == want[3]
