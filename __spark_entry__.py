@@ -615,7 +615,17 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     many train documents CONTAIN ≥ 90 % of its char-5-gram set and the
     maximum containment — the pre-training leak check. Containment (not
     Jaccard): a quoted eval item inside a larger train page must flag.
-    Integer ppm division keeps the decision and maximum engine-exact."""
+    Integer ppm division keeps the decision and maximum engine-exact.
+
+    Regime note (same framing as jaccard_pairs' exact baseline): this is the
+    EXACT all-pairs oracle regime. Its pair keyspace is |distinct train
+    texts| × |distinct eval texts| when gram entropy is low — this synthetic
+    corpus shares a ~2000-gram vocabulary across every document, the
+    degenerate worst case. In production the eval side is a benchmark
+    (thousands of items → the broadcast stream is trivially cheap), and the
+    operator's dedup-first + broadcast-eval structure already bounds the
+    work to distinct content; for corpus-vs-corpus runs the scale path is
+    fingerprint intersection (winnow_fingerprints) rather than exact grams."""
     docs = _t(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 10 != 0)
     ev = docs.where(F.col("doc_id") % 10 == 0)

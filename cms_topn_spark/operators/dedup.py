@@ -191,31 +191,61 @@ def contamination_report(
     (boilerplate bound, as :func:`jaccard_pairs_pruned`): pruned grams leave
     BOTH the intersection and the eval denominator, keeping the metric
     well-defined over the surviving gram space; eval grams absent from the
-    train corpus always survive (df = 0) and count against containment."""
-    tg = _shingle_rows(train, id_col, text_col).select(F.col(id_col).alias("t_id"), "g")
-    eg = _shingle_rows(eval_df, id_col, text_col).select(F.col(id_col).alias("e_id"), "g")
+    train corpus always survive (df = 0) and count against containment.
+    To preserve that semantic, df counts DOCUMENTS (multiplicity-weighted),
+    not distinct texts.
+
+    Dedup-before-the-expensive-op: containment depends only on CONTENT, so
+    both sides collapse to distinct texts (digest groupBy) BEFORE any gram
+    explodes — on a web corpus where popular pages repeat 100×, the gram
+    join shrinks by the square of the duplication factor — and per-document
+    results are recovered by multiplying train-side multiplicities back and
+    re-expanding eval digests to doc ids (digest-keyed joins, never text)."""
+    t_docs = train.select(F.md5(F.col(text_col)).alias("_tk"), F.col(text_col))
+    # several downstream joins consume these frames; localCheckpoint
+    # materializes each ONCE (they are distinct-text-sized, tiny relative to
+    # the corpus) instead of re-scanning + re-hashing the corpus per consumer
+    td = t_docs.groupBy("_tk").agg(
+        F.first(text_col).alias(text_col), F.count("*").alias("mult")
+    ).localCheckpoint(eager=True)
+    e_docs = eval_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_ek"), F.col(text_col)
+    )
+    ed = e_docs.groupBy("_ek").agg(F.first(text_col).alias(text_col))
+    tg = _shingle_rows(td, "_tk", text_col).select("_tk", "g").localCheckpoint(eager=True)
+    eg = _shingle_rows(ed, "_ek", text_col).select("_ek", "g").localCheckpoint(eager=True)
     if max_df is not None:
+        # document frequency = Σ multiplicity over distinct texts carrying g
         common = (
-            tg.groupBy("g").agg(F.count("*").alias("df"))
+            tg.join(td.select("_tk", "mult"), "_tk")
+            .groupBy("g")
+            .agg(F.sum("mult").alias("df"))
             .where(F.col("df") > max_df)
             .select("g")
         )
         tg = tg.join(common, "g", "left_anti")
         eg = eg.join(common, "g", "left_anti")
-    sizes = eg.groupBy("e_id").agg(F.count("*").alias("sz"))
-    inter = tg.join(eg, "g").groupBy("t_id", "e_id").agg(F.count("*").alias("i"))
+    sizes = eg.groupBy("_ek").agg(F.count("*").alias("sz"))
+    # eval benchmarks are broadcast-sized by definition: the big side's gram
+    # rows stream through a map-side hash join + partial aggregation and
+    # NEVER shuffle — on low-entropy corpora where gram df is huge, the
+    # joined row stream is quadratic-ish but stays pipelined (no
+    # materialization), which is the difference between streaming through
+    # and spilling a shuffle
+    inter = tg.join(F.broadcast(eg), "g").groupBy("_tk", "_ek").agg(
+        F.count("*").alias("i")
+    )
     pairs = (
-        inter.join(sizes, "e_id")
+        inter.join(sizes, "_ek")
         .withColumn("ppm", F.expr("(1000000 * i) div sz"))
         .where(F.col("ppm") >= threshold_ppm)
     )
-    return (
-        pairs.groupBy("e_id")
-        .agg(
-            F.count("*").cast("long").alias("n_train_matches"),
-            F.max("ppm").cast("long").alias("max_containment_ppm"),
-        )
-        .select(F.col("e_id").alias("eval_id"), "n_train_matches", "max_containment_ppm")
+    per_ek = pairs.join(td.select("_tk", "mult"), "_tk").groupBy("_ek").agg(
+        F.sum("mult").cast("long").alias("n_train_matches"),
+        F.max("ppm").cast("long").alias("max_containment_ppm"),
+    )
+    return e_docs.select(id_col, "_ek").join(per_ek, "_ek").select(
+        F.col(id_col).alias("eval_id"), "n_train_matches", "max_containment_ppm"
     )
 
 
