@@ -752,6 +752,9 @@ def q_cms_vocab_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
     sk = cms_topn_add_agg(toks, "tok", n=5, e=0.00002)
     probe = rare_token_probe_udf(sk.to_bytes(), threshold=10)
+    # NULL-text docs produce no token rows in the oracle's unnest — exclude
+    # them here identically (the probe UDF returns NULL fields for them)
+    docs = docs.where(F.col("text").isNotNull())
     return docs.select("doc_id", probe(F.col("text")).alias("_s")).select(
         "doc_id",
         F.col("_s.n_tokens").alias("n_tokens"),

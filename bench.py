@@ -269,9 +269,13 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
     def clean_reps(c: int) -> int:
         """Reps whose CPU-for-identical-work stayed near the quiet-box
         reference — contention inflates CPU for the same work, so this flags
-        storm-contaminated reps WITHOUT looking at walls or efficiency."""
-        limit = CPU_STORM_RATIO * CPU_QUIET_REF[c]
-        return sum(1 for x in cpus_used[c] if x <= limit)
+        storm-contaminated reps WITHOUT looking at walls or efficiency.
+        Levels without a calibrated reference count as all-clean (the storm
+        loop simply never fires for an uncalibrated pair)."""
+        ref = CPU_QUIET_REF.get(c)
+        if ref is None:
+            return len(cpus_used[c])
+        return sum(1 for x in cpus_used[c] if x <= CPU_STORM_RATIO * ref)
 
     for rep in range(reps):
         run_pair(rep)

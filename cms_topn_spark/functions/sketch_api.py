@@ -359,18 +359,29 @@ def rare_token_probe_udf(sketch_bytes: bytes, threshold: int, delimiter: str = "
     @pandas_udf(schema)
     def probe(texts: pd.Series) -> pd.DataFrame:
         sk = _cached_sketch(sketch_bytes)
+        # NULL text → NULL struct fields (split(NULL) yields no tokens in
+        # the explode formulation and its SQL oracle; fabricating a
+        # 1-token row for NULL would silently diverge from both)
+        null_mask = texts.isna().to_numpy()
         toks = texts.fillna("").str.split(delimiter)
         lens = toks.str.len().to_numpy(dtype=np.int64)
         if lens.sum() == 0:
-            return pd.DataFrame({"n_tokens": lens, "n_rare_tokens": lens})
-        flat = pa.Array.from_pandas(toks.explode(), type=pa.string())
-        data, offsets, lengths, _tag = pack_arrow_array(flat)
-        est = sk.estimate_packed(data, offsets, lengths)
-        rare = np.concatenate(([0], np.cumsum(est < threshold, dtype=np.int64)))
-        ends = np.cumsum(lens)
-        return pd.DataFrame(
-            {"n_tokens": lens, "n_rare_tokens": rare[ends] - rare[ends - lens]}
+            rare_out = lens.copy()
+        else:
+            flat = pa.Array.from_pandas(toks.explode(), type=pa.string())
+            data, offsets, lengths, _tag = pack_arrow_array(flat)
+            est = sk.estimate_packed(data, offsets, lengths)
+            rare = np.concatenate(([0], np.cumsum(est < threshold, dtype=np.int64)))
+            ends = np.cumsum(lens)
+            rare_out = rare[ends] - rare[ends - lens]
+        out = pd.DataFrame(
+            {
+                "n_tokens": pd.Series(lens, dtype="Int64"),
+                "n_rare_tokens": pd.Series(rare_out, dtype="Int64"),
+            }
         )
+        out.loc[null_mask, ["n_tokens", "n_rare_tokens"]] = pd.NA
+        return out
 
     return probe
 

@@ -132,7 +132,11 @@ def plan_num_partitions(df: DataFrame) -> int:
     (direct-collect vs tree-merge, spread-or-not), never correctness —
     cheaper than materializing the states frame through the block cache,
     which costs ~0.3 s per call for MB-sized sketch states."""
-    key = df.semanticHash()
+    # keyed per Spark application: a new session (different parallelism /
+    # file layout) must not inherit counts. Within one session, rewriting
+    # the same path with a different file count can still serve a stale
+    # count — acceptable because every consumer is a perf-only heuristic.
+    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
     n = _NPARTS_CACHE.get(key)
     if n is None:
         if len(_NPARTS_CACHE) > 256:

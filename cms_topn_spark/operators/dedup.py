@@ -574,6 +574,8 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     associative/idempotent ⇒ the fixpoint is deterministic regardless of
     execution order. Only docs appearing in some pair are returned
     (singletons are trivially their own representative)."""
+    if max_iters < 1:
+        raise ValueError("duplicate_clusters needs max_iters >= 1")
     fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -46,6 +46,15 @@ def iceberg_catalog(spark: SparkSession) -> str | None:
         spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
     except Exception:
         return None
+    # explicit override first: context conf (getConf) is frozen at context
+    # creation, so a catalog configured later via spark.conf.set would be
+    # invisible to the scan below — CMS_TOPN_ICEBERG_CATALOG names it
+    # directly (checked against the runtime SQL conf, which sees both forms)
+    override = os.environ.get("CMS_TOPN_ICEBERG_CATALOG")
+    if override:
+        if "iceberg" in (spark.conf.get(f"spark.sql.catalog.{override}", "") or ""):
+            return override
+        return None
     for k, v in spark.sparkContext.getConf().getAll():
         if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and "iceberg" in v:
             return k.rsplit(".", 1)[1]

@@ -63,24 +63,48 @@ def profile_ingest(sk: CompositeSketch, batch: pa.RecordBatch) -> None:
     # distinct token once with its count (same trick as the flagship)
     vc = pc.value_counts(pc.list_flatten(split))
     vals = vc.field("values")
+    counts_arr = vc.field("counts")
     if vals.null_count:
-        vals = vals.drop_null()
+        # filter values and counts with ONE validity mask — dropping nulls
+        # from only the values side would misalign every later (token,
+        # count) pair and silently corrupt frequencies
+        keep = pc.is_valid(vals)
+        vals = vals.filter(keep)
+        counts_arr = counts_arr.filter(keep)
     data, offs, lens = enc.encode_arrow_strings(vals)
-    counts = vc.field("counts").to_numpy(zero_copy_only=False)
+    counts = counts_arr.to_numpy(zero_copy_only=False)
     sk["token_topn"].add_packed(data, offs, lens, counts=counts, type_tag=enc.TYPE_STRING)
 
 
 def corpus_profile(docs, text_col: str = "text") -> dict:
-    """One-scan profile → dict of scalars (all exact at gate widths)."""
+    """One-scan profile → dict of scalars (all exact at gate widths).
+
+    Empty / all-NULL corpora return the well-defined empty profile instead
+    of crashing (sketch_agg yields None there). A tie at the maximum token
+    frequency is broken lexicographically — the CMS top-n's own tie order
+    is insertion-sequence (merge-order dependent), which would make the
+    reported token nondeterministic across partitionings."""
     sk = sketch_agg(docs.select(text_col), profile_factory(), profile_ingest)
+    if sk is None:
+        return {
+            "distinct_texts": 0,
+            "total_tokens": 0,
+            "top_token": None,
+            "top_token_freq": 0,
+            "len_q25": None,
+            "len_q50": None,
+            "len_q75": None,
+        }
     top = sk["token_topn"].topn_list()
+    top_freq = int(top[0][1]) if top else 0
+    tied = sorted(str(t) for t, f in top if int(f) == top_freq)
     q25, q50, q75 = sk["len_kll"].quantiles([0.25, 0.5, 0.75])
     return {
         "distinct_texts": int(sk["text_hll"].estimate()),
         "total_tokens": int(sk["token_topn"].total),
-        "top_token": str(top[0][0]),
-        "top_token_freq": int(top[0][1]),
-        "len_q25": float(q25),
-        "len_q50": float(q50),
-        "len_q75": float(q75),
+        "top_token": tied[0] if tied else None,
+        "top_token_freq": top_freq,
+        "len_q25": float(q25) if q25 is not None else None,
+        "len_q50": float(q50) if q50 is not None else None,
+        "len_q75": float(q75) if q75 is not None else None,
     }

@@ -211,3 +211,13 @@ def test_grouped_distinct_sparse_exact_and_estimate_regime(spark, sf001_dir):
     }
     for uid, d in want.items():
         assert abs(est[uid] - d) <= max(3, 0.05 * d)
+
+
+def test_duplicate_clusters_rejects_nonpositive_iters(spark):
+    import pytest as _pytest
+
+    from cms_topn_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    with _pytest.raises(ValueError, match="max_iters"):
+        duplicate_clusters(pairs, max_iters=0)

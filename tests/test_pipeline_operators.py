@@ -676,3 +676,14 @@ def test_corpus_profile_one_scan_matches_exact(spark, docs, con):
     assert p["total_tokens"] == want[1]
     assert p["top_token_freq"] == want[2]
     assert p["len_q50"] == want[3]
+
+
+def test_corpus_profile_empty_and_null_corpus(spark):
+    from cms_topn_spark.plans.profile import corpus_profile
+
+    empty = spark.createDataFrame([], "text string")
+    p = corpus_profile(empty)
+    assert p["distinct_texts"] == 0 and p["top_token"] is None
+    nulls = spark.createDataFrame([(None,), (None,)], "text string")
+    p2 = corpus_profile(nulls)
+    assert p2["total_tokens"] == 0 and p2["len_q50"] is None

@@ -373,7 +373,6 @@ def test_rare_token_probe_udf_matches_explode_groupby(spark, sf001_dir):
     }
     assert got == want
     # plan shape: the map form has NO exchange
-    plan = docs.select("doc_id", probe("text")).sparkSession is not None
     explained = docs.select("doc_id", probe("text"))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in explained
 
@@ -396,3 +395,20 @@ def test_bloom_anti_join_matches_exact_and_handles_empty_build(spark, sf001_dir)
     empty = old.where(F.lit(False))
     all_new = {r["doc_id"] for r in bloom_anti_join(new, "k", empty, "k", capacity=600).collect()}
     assert all_new == {r["doc_id"] for r in new.collect()}
+
+
+def test_rare_token_probe_null_text_yields_null_struct(spark):
+    from pyspark.sql import functions as F
+
+    from cms_topn_spark.functions.sketch_api import (
+        cms_topn_add_agg,
+        rare_token_probe_udf,
+    )
+
+    df = spark.createDataFrame([(1, "a b c"), (2, None)], "doc_id long, text string")
+    sk = cms_topn_add_agg(df.where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")), "tok", n=5)
+    probe = rare_token_probe_udf(sk.to_bytes(), threshold=10)
+    rows = {r["doc_id"]: r["s"] for r in df.select("doc_id", probe("text").alias("s")).collect()}
+    assert rows[1]["n_tokens"] == 3
+    assert rows[2]["n_tokens"] is None and rows[2]["n_rare_tokens"] is None
