@@ -47,10 +47,40 @@ def test_cms_linear_split_merge_equals_whole(vals, cut):
     merged = a.merge(b)
     assert np.array_equal(merged.counters, whole.counters)
     assert merged.total == whole.total
-    # topn sets re-ranked against identical counters ⇒ same (item, freq) map
-    # whenever candidate sets cover the same survivors; with n=5 over <=500
-    # distinct ints both candidate unions contain every item with freq >= min
-    assert merged.to_bytes() == whole.to_bytes()
+    # semantic invariant: re-ranking against identical counters gives the
+    # same (item, frequency) map and the same frequency ordering
+    assert dict(merged.topn_list()) == dict(whole.topn_list())
+    assert [f for _, f in merged.topn_list()] == [f for _, f in whole.topn_list()]
+    # byte identity additionally requires a STABLE candidate set (merge()
+    # docstring): an item strict-rejected inside a sub-batch that re-enters
+    # via the merge keeps its frequency but records the entering occurrence
+    # of ITS path, so insertion-seq tie-breaks may legitimately differ
+    # (found at 250-example budget: [0]*18+[2,3,4,5,1], cut before the 2nd
+    # "1" — whole enters "1" at its first appearance, the split at its
+    # second). Assert bytes only when the entry seqs already coincide.
+    if {k: e[1] for k, e in merged.topn.items()} == {
+        k: e[1] for k, e in whole.topn.items()
+    }:
+        assert merged.to_bytes() == whole.to_bytes()
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=4), min_size=0, max_size=800),
+    cut=st.integers(min_value=0, max_value=800),
+)
+@settings(**SETTINGS)
+def test_cms_linear_split_merge_bytes_stable_candidates(vals, cut):
+    """≤5 distinct values with n=5: every item enters its sub-batch's top-n
+    immediately (never strict-rejected), so the stable-candidate condition
+    holds BY CONSTRUCTION and byte-for-byte equality is guaranteed."""
+    cut = min(cut, len(vals))
+    whole = CmsTopn(5, 0.01, 0.99, update="linear")
+    whole.add_batch(vals, type_tag=enc.TYPE_INT64)
+    a = CmsTopn(5, 0.01, 0.99, update="linear")
+    a.add_batch(vals[:cut], type_tag=enc.TYPE_INT64)
+    b = CmsTopn(5, 0.01, 0.99, update="linear")
+    b.add_batch(vals[cut:], type_tag=enc.TYPE_INT64)
+    assert a.merge(b).to_bytes() == whole.to_bytes()
 
 
 @given(vals=st.lists(st.integers(0, 2000), min_size=0, max_size=600), k=st.integers(2, 4))
