@@ -530,10 +530,20 @@ def q_stream_windowed_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="stream_win_")
     try:
         src = os.path.join(tmp, "in")
-        # NTZ → session-tz timestamp (sessions run UTC): staged epoch equals
-        # the wall clock DuckDB's epoch(date_trunc(...)) reads
+        # stage ts so its EPOCH equals the NTZ wall clock regardless of the
+        # session timezone: timestampdiff from the NTZ epoch is tz-free, and
+        # timestamp_micros() builds the instant from raw epoch micros — so
+        # F.window's (epoch-aligned) day boundaries match DuckDB's
+        # epoch(date_trunc('day', ts)) under ANY spark.sql.session.timeZone
+        # (a bare cast would shift by the session offset off-UTC)
         ev.select(
-            F.col("ts").cast("timestamp").alias("ts"), "event_type"
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ).alias("ts"),
+            "event_type",
         ).repartition(4).write.parquet(src)
         stream = (
             spark.readStream.schema("ts timestamp, event_type string")
