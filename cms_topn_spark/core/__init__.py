@@ -22,6 +22,12 @@ from .base import (
 )
 from .bloom import BloomFilter
 from .cms_topn import CmsTopn, sizing
+
+# importing the module REGISTERS serialization kind 7: without this, a
+# worker that only imported core/operators (e.g. a tree-merge task
+# unpickling _merge_group) could not deserialize a composite state and the
+# flagship/profile job would die exactly at >direct_collect_limit partitions
+from .composite import CompositeSketch  # noqa: E402  (registration side effect)
 from .hll import HyperLogLog
 from .kll import KllSketch
 from .mms import MinMaskSketch

@@ -60,11 +60,17 @@ class BloomFilter(MergeableSketch):
         if not vals:
             return
         if type_tag is None:
-            type_tag = enc.infer_type_tag(vals[0])
+            # shared int-width promotion/stickiness (resolve_batch_tag): a
+            # wrapped int32 would set DIFFERENT bits than the later probe
+            type_tag = enc.resolve_batch_tag(vals, self.item_type)
         data, offsets, lengths = enc.encode_any(vals, type_tag)
         self.add_packed(data, offsets, lengths, type_tag=type_tag)
 
-    def add_packed(self, data, offsets, lengths, type_tag: int = enc.TYPE_BINARY) -> None:
+    def add_packed(
+        self, data, offsets, lengths, counts=None, type_tag: int = enc.TYPE_BINARY
+    ) -> None:
+        # counts accepted and ignored: membership semantics make weights a
+        # no-op, and the shared weighted-ingest path passes them uniformly
         if len(lengths) == 0:
             return
         self._bind_type(type_tag)
@@ -95,18 +101,17 @@ class BloomFilter(MergeableSketch):
             tag = enc.infer_type_tag(value)
         else:
             tag = enc.infer_type_tag(value)
-            numeric = (enc.TYPE_INT32, enc.TYPE_INT64)
             if tag != self.item_type:
                 if tag == enc.TYPE_INT32 and self.item_type == enc.TYPE_INT64:
                     tag = enc.TYPE_INT64
                 elif tag == enc.TYPE_INT64 and self.item_type == enc.TYPE_INT32:
                     return False  # cannot fit the bound type ⇒ never added
-                elif not (tag in numeric and self.item_type in numeric):
+                else:
+                    # the two int-width combinations are handled above, so
+                    # any remaining mismatch is cross-family
                     raise SketchError(
                         "cannot query items of a different type on this bloom filter"
                     )
-                else:
-                    tag = self.item_type
         b = enc.encode_one(value, tag)
         return bool(self.contains_packed(b, np.array([0]), np.array([len(b)]))[0])
 

@@ -126,14 +126,7 @@ class CmsTopn(MergeableSketch):
         if not vals:
             return
         if type_tag is None:
-            type_tag = enc.infer_type_tag(vals[0])
-            if type_tag == enc.TYPE_INT32 and any(
-                not (-(2**31) <= v < 2**31) for v in vals
-            ):
-                type_tag = enc.TYPE_INT64
-            # stay sticky: a sketch already bound to int64 keeps int64 encoding
-            if type_tag == enc.TYPE_INT32 and self.item_type == enc.TYPE_INT64:
-                type_tag = enc.TYPE_INT64
+            type_tag = enc.resolve_batch_tag(vals, self.item_type)
         data, offsets, lengths = enc.encode_any(vals, type_tag)
         self.add_packed(data, offsets, lengths, counts=counts, type_tag=type_tag)
 
@@ -469,3 +462,8 @@ class CmsTopn(MergeableSketch):
     # convenience for tests
     def __eq__(self, other) -> bool:
         return isinstance(other, CmsTopn) and self.to_bytes() == other.to_bytes()
+
+    # deliberately unhashable: the sketch is MUTABLE and value-equal, so an
+    # identity hash would break the hash/eq contract the moment two equal
+    # sketches met in a set; key containers by to_bytes() instead
+    __hash__ = None

@@ -42,7 +42,13 @@ def encode_fixed(values: np.ndarray, itemsize: int) -> tuple[bytes, np.ndarray, 
 
 
 def encode_int32(values) -> tuple[bytes, np.ndarray, np.ndarray]:
-    return encode_fixed(np.asarray(values).astype("<i4"), 4)
+    a = np.asarray(values)
+    if a.size and (int(a.max()) >= 2**31 or int(a.min()) < -(2**31)):
+        # a silent C-cast wrap would hash a DIFFERENT identity (verified:
+        # 2**40 wraps to 0) — callers must promote the batch to int64 first
+        # (resolve_batch_tag does); raising here is the backstop
+        raise OverflowError("int32-tagged batch contains values outside int32 range")
+    return encode_fixed(a.astype("<i4"), 4)
 
 
 def encode_int64(values) -> tuple[bytes, np.ndarray, np.ndarray]:
@@ -54,8 +60,19 @@ def encode_float64(values) -> tuple[bytes, np.ndarray, np.ndarray]:
 
 
 def encode_bytes_list(values) -> tuple[bytes, np.ndarray, np.ndarray]:
-    """values: sequence of ``bytes`` (or str, encoded UTF-8). Nones dropped by caller."""
-    bs = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in values]
+    """values: sequence of ``bytes`` (or str, encoded UTF-8). Nones dropped by
+    caller. Anything else raises: ``bytes(3)`` would silently encode the
+    integer 3 as three NUL bytes and merge unrelated items' counts."""
+    bs = []
+    for v in values:
+        if isinstance(v, str):
+            bs.append(v.encode("utf-8"))
+        elif isinstance(v, (bytes, bytearray, memoryview)):
+            bs.append(bytes(v))
+        else:
+            raise TypeError(
+                f"cannot encode {type(v).__name__} as a string/binary item"
+            )
     lengths = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
     offsets = np.concatenate(([0], np.cumsum(lengths)[:-1])) if len(bs) else np.empty(0, np.int64)
     return b"".join(bs), offsets, lengths
@@ -108,6 +125,19 @@ def infer_type_tag(value) -> int:
     if isinstance(value, (bytes, bytearray, memoryview)):
         return TYPE_BINARY
     raise TypeError("composite types are not supported")
+
+
+def resolve_batch_tag(vals, bound_tag: int = TYPE_UNSET) -> int:
+    """Batch encoding tag from the first value, with the int-width rules
+    every sketch must share: any value outside int32 range promotes the
+    WHOLE batch to int64 (a per-value wrap would hash a different identity),
+    and a sketch already bound to int64 keeps int64 encoding (stickiness)."""
+    tag = infer_type_tag(vals[0])
+    if tag == TYPE_INT32 and any(not (-(2**31) <= v < 2**31) for v in vals):
+        tag = TYPE_INT64
+    if tag == TYPE_INT32 and bound_tag == TYPE_INT64:
+        tag = TYPE_INT64
+    return tag
 
 
 def encode_one(value, type_tag: int) -> bytes:

@@ -73,11 +73,18 @@ class HyperLogLog(MergeableSketch):
         if not vals:
             return
         if type_tag is None:
-            type_tag = enc.infer_type_tag(vals[0])
+            # shared int-width promotion/stickiness rules (resolve_batch_tag):
+            # a per-value int32 wrap would hash a DIFFERENT identity and
+            # silently undercount distincts
+            type_tag = enc.resolve_batch_tag(vals, self.item_type)
         data, offsets, lengths = enc.encode_any(vals, type_tag)
         self.add_packed(data, offsets, lengths, type_tag=type_tag)
 
-    def add_packed(self, data, offsets, lengths, type_tag: int = enc.TYPE_BINARY) -> None:
+    def add_packed(
+        self, data, offsets, lengths, counts=None, type_tag: int = enc.TYPE_BINARY
+    ) -> None:
+        # counts accepted and ignored: distinct-count semantics make weights
+        # a no-op, and the shared weighted-ingest path passes them uniformly
         if len(lengths) == 0:
             return
         self._bind_type(type_tag)
@@ -86,9 +93,20 @@ class HyperLogLog(MergeableSketch):
 
     def add_hashes(self, hashes: np.ndarray) -> None:
         if self.mode == MODE_SPARSE:
-            self.sparse = np.union1d(self.sparse, hashes.astype(U64))
-            if len(self.sparse) > self.sparse_limit:
-                self._to_dense()
+            h = hashes.astype(U64)
+            # skip the O(S log S) re-sort when the batch brings nothing new
+            # (common once the sparse set saturates the live key space)
+            pos = np.searchsorted(self.sparse, h)
+            pos_c = np.minimum(pos, len(self.sparse) - 1) if len(self.sparse) else pos
+            is_new = (
+                np.ones(len(h), dtype=bool)
+                if len(self.sparse) == 0
+                else self.sparse[pos_c] != h
+            )
+            if is_new.any():
+                self.sparse = np.union1d(self.sparse, h[is_new])
+                if len(self.sparse) > self.sparse_limit:
+                    self._to_dense()
         else:
             self._dense_update(hashes.astype(U64))
 

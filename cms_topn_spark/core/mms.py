@@ -93,7 +93,8 @@ class MinMaskSketch(MergeableSketch):
             return
         vals = [v for v, _ in pairs]
         if type_tag is None:
-            type_tag = enc.infer_type_tag(vals[0])
+            # shared int-width promotion/stickiness (resolve_batch_tag)
+            type_tag = enc.resolve_batch_tag(vals, self.item_type)
         data, offsets, lengths = enc.encode_any(vals, type_tag)
         self.add_packed(
             data, offsets, lengths, np.asarray([m for _, m in pairs], dtype=U64), type_tag
@@ -129,15 +130,14 @@ class MinMaskSketch(MergeableSketch):
             return None
         tag = enc.infer_type_tag(value)
         if self.item_type != enc.TYPE_UNSET and tag != self.item_type:
-            numeric = (enc.TYPE_INT32, enc.TYPE_INT64)
             if tag == enc.TYPE_INT32 and self.item_type == enc.TYPE_INT64:
                 tag = enc.TYPE_INT64
             elif tag == enc.TYPE_INT64 and self.item_type == enc.TYPE_INT32:
                 return 0
-            elif not (tag in numeric and self.item_type in numeric):
-                raise SketchError("not a proper mms for the result type")
             else:
-                tag = self.item_type
+                # both int-width combinations are handled above, so any
+                # remaining mismatch is cross-family
+                raise SketchError("not a proper mms for the result type")
         b = enc.encode_one(value, tag)
         return int(self.get_masks_packed(b, np.array([0]), np.array([len(b)]))[0])
 

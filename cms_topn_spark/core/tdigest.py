@@ -107,13 +107,18 @@ class TDigest(MergeableSketch):
         m, w = self.means, self.weights
         total = w.sum()
         if np.all(w == 1.0):
-            # exact regime: identical to quantile_cont
+            # exact regime: identical to quantile_cont — DuckDB weights the
+            # interpolation a·(ceil(t)−t) + b·(t−floor(t)), which differs in
+            # the last ulp from a·(1−f)+b·f when t itself carries rounding
+            # error (see kll.quantile for the derivation)
             t = q * (total - 1.0)
-            i = int(np.floor(t))
-            frac = t - i
-            i = min(i, len(m) - 1)
+            fl = np.floor(t)
+            i = min(int(fl), len(m) - 1)
+            frac = t - fl
+            if frac == 0.0:
+                return float(m[i])
             j = min(i + 1, len(m) - 1)
-            return float(m[i] + (m[j] - m[i]) * frac)
+            return float(m[i] * ((fl + 1.0) - t) + m[j] * frac)
         # heavy centroids (weight > 1, from weighted adds or compression) own
         # a mass SLAB, not a point: anchor each centroid at half a unit inside
         # each end of its slab (both anchors share its mean, so any target

@@ -273,3 +273,27 @@ class TestMms:
         s.add("x", 1)
         with pytest.raises(SketchError, match="not proper type for this mms"):
             s.add(3, 1)
+
+
+def test_quantile_bitwise_parity_with_duckdb_exact_regime():
+    """KLL and t-digest exact-regime quantiles equal DuckDB quantile_cont
+    BITWISE at every practical quantile across varied corpus sizes (the
+    oracle contract; adversarial 17-digit q literals may differ by ulps)."""
+    import duckdb
+    import numpy as np
+
+    from cms_topn_spark.core import KllSketch, TDigest
+
+    for seed, n in ((3, 23), (4, 150), (5, 997)):
+        vals = np.random.default_rng(seed).uniform(-1000, 1000, n)
+        k = KllSketch(1 << 15)
+        k.add_batch(vals)
+        t = TDigest(delta=1e8)
+        t.add_batch(vals)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE v (x DOUBLE)")
+        con.executemany("INSERT INTO v VALUES (?)", [(float(x),) for x in vals])
+        for q in (0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99):
+            want = con.execute(f"SELECT quantile_cont(x, {q}) FROM v").fetchone()[0]
+            assert k.quantile(q) == want, (seed, n, q)
+            assert t.quantile(q) == want, (seed, n, q)
