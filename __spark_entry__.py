@@ -805,11 +805,14 @@ def q_stratified_sample(spark, sf_dir):
     corpus-rebalancing move — via an md5-prefix hash whose DECISION is
     bit-identical in Spark and DuckDB. Pure map: no shuffle, no RNG state."""
     from cms_topn_spark.operators import pipeline
-    from cms_topn_spark.operators.textops import lang_pred_expr
+    from cms_topn_spark.operators.textops import (
+        lang_pred_from_hit_cols,
+        stage_stopword_hits,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    labeled = docs.select(
-        "doc_id", F.col("text"), lang_pred_expr("text").alias("pred_lang")
+    labeled = stage_stopword_hits(docs.select("doc_id", "text")).select(
+        "doc_id", F.col("text"), lang_pred_from_hit_cols().alias("pred_lang")
     )
     return pipeline.stratified_sample(
         labeled, SAMPLE_FRACTIONS, "pred_lang"

@@ -517,6 +517,15 @@ def minhash_lsh_pairs(
     candidate set is effectively lossless, so the output equals the exact
     operator (and shares its oracle).
 
+    Gram-space scope: this kernel windows UTF-8 BYTES while
+    :func:`jaccard_pairs_exact` windows CHARACTERS (SQL substring) — the two
+    spaces coincide on ASCII text (every test/gate corpus) but diverge on
+    multi-byte characters, where byte windows cross code-point boundaries.
+    Byte k-grams are a legitimate gram definition of their own (and the
+    vectorizable one); on non-ASCII corpora treat the two operators as
+    measuring similarity over slightly different gram spaces rather than
+    expecting pair-for-pair equality near the threshold.
+
     Plan shape: ONE kernel pass builds band keys + gram-hash sets per doc
     (:func:`minhash_doc_features`, persisted — at petabyte scale write it to
     a parquet stage instead; it is O(corpus tokens) like any tokenized

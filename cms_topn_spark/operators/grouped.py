@@ -23,6 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..core.base import merge_serialized
 from .build import pack_arrow_array
@@ -55,8 +56,15 @@ def grouped_sketch_states(
     stage-1 state count by the task count (measured 1.5× SLOWER on the
     single-file test corpus than the serial fold it parallelizes) — and at
     real scale inputs already have ≥ cores splits, so spreading buys
-    nothing there either."""
+    nothing there either.
+
+    NULL group keys are dropped up front (documented semantics, like
+    aggregate functions skipping NULLs): letting them through would
+    float64-coerce an int key column inside the Arrow kernel (NaN for the
+    null), breaking the declared schema — and silently corrupting int keys
+    above 2^53 in the same window."""
     gtype = dict(df.dtypes)[group_col]
+    df = df.where(F.col(group_col).isNotNull())
 
     def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         sketches: dict = {}

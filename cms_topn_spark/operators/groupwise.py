@@ -38,8 +38,14 @@ def groupwise_estimate(
         return pd.DataFrame({group_col: [pdf[group_col].iloc[0]], out_field: [estimator(sk)]})
 
     gtype = dict(df.dtypes)[group_col]
+    from pyspark.sql import functions as F
+
     return (
+        # NULL group keys dropped (aggregate-skip semantics): the null
+        # group's key reaches pandas as NaN and cannot be written back to
+        # an int/long group output column
         df.select(group_col, value_col)
+        .where(F.col(group_col).isNotNull())
         .groupBy(group_col)
         .applyInPandas(run, f"{group_col} {gtype}, {out_field} {out_type}")
     )

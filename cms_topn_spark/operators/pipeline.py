@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textops import lang_pred_expr, lang_pred_sql
+from .textops import lang_pred_from_hit_cols, lang_pred_sql, stage_stopword_hits
 
 # defaults chosen against the synthetic corpus distributions: alpha ratio
 # splits the quality range (observed 0.79-0.85), dup-token splits the
@@ -49,12 +49,18 @@ def curate(
     dup_token_fx, textops.lang_id's pred_lang, dedup.exact_dedup's
     min-id-per-content rule), so the composed output is exactly what
     chaining those operators would produce — without their per-operator
-    scans: one pass computes every gate."""
-    tk = f"split({text_col}, ' ')"
-    feats = df.select(
+    scans: one pass computes every gate.
+
+    The token array and stopword hit counts are STAGED as columns before
+    the feature projection (no-CSE-through-lambdas: inlined, each split ran
+    up to 3× per row on the full-corpus hot path)."""
+    staged = stage_stopword_hits(df.select(id_col, text_col), text_col).withColumn(
+        "_tk", F.expr(f"split({text_col}, ' ')")
+    )
+    feats = staged.select(
         F.col(id_col),
         F.col(text_col),
-        lang_pred_expr(text_col).alias("pred_lang"),
+        lang_pred_from_hit_cols().alias("pred_lang"),
         # greatest(·,1) guards the empty document: Spark would yield NULL
         # (silently un-gateable) and DuckDB 0/0 — the guard makes both
         # engines score an empty text 0 and gate it out deterministically
@@ -64,12 +70,10 @@ def curate(
         )
         .cast("long")
         .alias("alpha_ratio_fx"),
-        F.expr(
-            f"floor(1000000 * (1.0 - size(array_distinct({tk})) / size({tk})))"
-        )
+        F.expr("floor(1000000 * (1.0 - size(array_distinct(_tk)) / size(_tk)))")
         .cast("long")
         .alias("dup_token_fx"),
-        F.expr(f"size({tk})").cast("long").alias("n_tokens"),
+        F.expr("size(_tk)").cast("long").alias("n_tokens"),
     )
     kept = feats.where(
         (F.col("alpha_ratio_fx") >= min_alpha_fx)

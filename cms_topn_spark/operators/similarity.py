@@ -34,8 +34,19 @@ def _batch_embedding_matrix(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
         arr = arr.combine_chunks()
     if isinstance(arr, pa.ListArray) or isinstance(arr, pa.LargeListArray):
         offsets = arr.offsets.to_numpy()
+        if len(arr):
+            lens = np.diff(offsets[: len(arr) + 1])
+            # NULL or ragged rows would otherwise produce a garbage reshape
+            # (null-first ⇒ dim 0) or an opaque ValueError deep inside a
+            # GEMM — name the actual cause
+            if arr.null_count or lens.min() != lens.max():
+                raise ValueError(
+                    "embeddings must be non-NULL and equal-length; got "
+                    f"{arr.null_count} nulls, lengths {int(lens.min())}"
+                    f"..{int(lens.max())}"
+                )
         flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
-        dim = int(offsets[1] - offsets[0])
+        dim = int(offsets[1] - offsets[0]) if len(arr) else 0
         start = int(offsets[0])
         return flat[start : start + len(arr) * dim].reshape(len(arr), dim)
     raise TypeError(f"expected list<float> embeddings, got {arr.type}")
@@ -277,16 +288,18 @@ TOPK_N_PLANES = 16  # ANN top-k default: 65536 buckets/table (see lsh_topk)
 
 
 def _planes(dim: int, n_planes: int = N_PLANES, n_tables: int = N_TABLES) -> np.ndarray:
-    """(n_tables, n_planes, dim) deterministic gaussian-ish hyperplanes."""
+    """(n_tables, n_planes, dim) deterministic approximately-gaussian
+    hyperplanes: Irwin–Hall sum of FOUR uniforms, centered — close enough to
+    isotropic that the hyperplane-LSH collision law p = 1 − θ/π (which
+    assumes rotation-invariant plane directions) holds to the accuracy the
+    recall tests assert; a 2-uniform (triangular) sum was measurably less
+    isotropic. Deterministic (splitmix64 streams), no RNG state to ship."""
     n = n_tables * n_planes * dim
-    h = _splitmix64(np.arange(n, dtype=np.int64) + 12345)
-    # box-muller-free: map two uniforms to approx normal via sum of 4 uniforms
-    u = h.astype(np.float64) / 2**64
-    g = (
-        u
-        + _splitmix64(np.arange(n, dtype=np.int64) + 99999).astype(np.float64) / 2**64
-        - 1.0
-    )
+    base = np.arange(n, dtype=np.int64)
+    g = sum(
+        _splitmix64(base + off).astype(np.float64) / 2**64
+        for off in (12345, 99999, 7777777, 31337)
+    ) - 2.0
     return g.reshape(n_tables, n_planes, dim)
 
 
@@ -428,7 +441,13 @@ def lsh_topk(
     CONSTRUCTION (the same explicitly-labeled exactness regime as IVF's
     n_probe = n_cells), which still exercises the whole signature/bucket-join
     machinery. The exactness baseline is brute_force_topk (same schema)."""
-    sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables)
+    # the signatures frame is consumed twice (query filter + join probe
+    # side); materialize ONCE or the full-corpus projection kernel — the
+    # expensive stage — runs per consumer (cosine_near_dup_pairs_lsh
+    # persists for the same reason)
+    sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables).localCheckpoint(
+        eager=True
+    )
     qsigs = sigs.where(F.col("vec_id").isin([int(q) for q in query_ids])).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )

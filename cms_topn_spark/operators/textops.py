@@ -61,7 +61,14 @@ def token_stats_sql(table: str = "documents") -> str:
 
 def lang_pred_expr(text_col: str) -> Column:
     """The stopword-argmax language prediction as a reusable Column
-    (deterministic precedence en>de>fr>es; zero hits → 'und')."""
+    (deterministic precedence en>de>fr>es; zero hits → 'und').
+
+    Hot-path note: this inlines each per-language split+filter TWICE (inside
+    greatest() and in its when() branch) and Catalyst does not CSE through
+    lambda bodies — fine for one-off use, but full-corpus consumers should
+    stage the hit counts as columns once (:func:`stage_stopword_hits` +
+    :func:`lang_pred_from_hit_cols`, the repetition_stats materialization
+    trick) so each array builds once per row."""
     hits = {lang: stopword_hits(text_col, lang) for lang in LANG_PRECEDENCE}
     # the first language (in precedence order) whose hits equal the max wins
     mx = F.greatest(*[hits[lang] for lang in LANG_PRECEDENCE])
@@ -70,6 +77,40 @@ def lang_pred_expr(text_col: str) -> Column:
         .when(hits["en"] == mx, F.lit("en"))
         .when(hits["de"] == mx, F.lit("de"))
         .when(hits["fr"] == mx, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def stage_stopword_hits(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize per-language stopword hit counts as ``_hits_<lang>``
+    columns ONCE, from ONE staged token array. Catalyst's project-collapse
+    declines to inline an alias referenced more than once, so the split
+    runs once per row and each language's filter once — the same
+    no-CSE-through-lambdas workaround repetition_stats measured at 30×."""
+    staged = df.withColumn("_sw_tk", F.expr(f"split({text_col}, ' ')"))
+    staged = staged.select(
+        "*",
+        *[
+            F.expr(
+                f"size(filter(_sw_tk, t -> t IN ({_in_list(STOPWORDS[lang])})))"
+            )
+            .cast("long")
+            .alias(f"_hits_{lang}")
+            for lang in LANG_PRECEDENCE
+        ],
+    )
+    return staged.drop("_sw_tk")
+
+
+def lang_pred_from_hit_cols() -> Column:
+    """Argmax prediction from staged ``_hits_<lang>`` columns (cheap column
+    references — safe to inline many times)."""
+    mx = F.greatest(*[F.col(f"_hits_{lang}") for lang in LANG_PRECEDENCE])
+    return (
+        F.when(mx == F.lit(0), F.lit("und"))
+        .when(F.col("_hits_en") == mx, F.lit("en"))
+        .when(F.col("_hits_de") == mx, F.lit("de"))
+        .when(F.col("_hits_fr") == mx, F.lit("fr"))
         .otherwise(F.lit("es"))
     )
 
@@ -91,12 +132,15 @@ def lang_pred_sql(text_expr: str = "text") -> str:
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Stopword-hit language ID with deterministic precedence en>de>fr>es."""
-    hits = {lang: stopword_hits(text_col, lang) for lang in LANG_PRECEDENCE}
-    return df.select(
+    """Stopword-hit language ID with deterministic precedence en>de>fr>es.
+    Hit counts are staged as columns once (stage_stopword_hits), so each
+    per-language split+filter runs once per row instead of up to three
+    times (greatest + when-branch + output column)."""
+    staged = stage_stopword_hits(df.select(id_col, text_col), text_col)
+    return staged.select(
         F.col(id_col),
-        lang_pred_expr(text_col).alias("pred_lang"),
-        *[hits[lang].cast("long").alias(f"hits_{lang}") for lang in LANG_PRECEDENCE],
+        lang_pred_from_hit_cols().alias("pred_lang"),
+        *[F.col(f"_hits_{lang}").alias(f"hits_{lang}") for lang in LANG_PRECEDENCE],
     )
 
 

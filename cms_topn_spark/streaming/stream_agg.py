@@ -165,9 +165,15 @@ def windowed_sketch_stream(
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_id <= _committed_marker():
             return
-        win = batch_df.withColumn(
-            "_w", F.window(F.col(ts_col), window).start.cast("long")
-        ).select("_w", value_col)
+        # rows without an event time cannot be assigned a window; letting
+        # them through yields a NULL _w group whose key cannot be cast back
+        # to `_w long` — the query would fail AND WEDGE (the same batch
+        # replays into the same failure on every restart)
+        win = (
+            batch_df.where(F.col(ts_col).isNotNull())
+            .withColumn("_w", F.window(F.col(ts_col), window).start.cast("long"))
+            .select("_w", value_col)
+        )
         states = (
             win.repartition("_w")
             .groupBy("_w")
@@ -303,7 +309,10 @@ def keyed_sketch_stream(
         top = sk.topn_list()
         yield pd.DataFrame(
             {
-                "key": [key[0]],
+                # str() like top_item below: the output schema declares
+                # `key string`, and a bigint key would fail the
+                # pandas→Arrow conversion inside applyInPandasWithState
+                "key": [str(key[0])],
                 "total": [sk.total],
                 "top_item": [str(top[0][0]) if top else None],
                 "top_freq": [top[0][1] if top else None],
