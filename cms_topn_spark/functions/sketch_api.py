@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
+    DoubleType,
     LongType,
     Row,
     StringType,
@@ -127,10 +129,14 @@ def cms_topn_union_agg(df: DataFrame, state_col: str = "state", fanin: int = 16)
     return sketch_from_bytes(acc) if acc is not None else None
 
 
+# item decode type per encoding tag for the topn() SRF family; unbound /
+# unknown tags render as string (upstream's text output for untyped calls)
 _TOPN_SCHEMAS = {
     enc.TYPE_INT32: LongType(),
     enc.TYPE_INT64: LongType(),
     enc.TYPE_STRING: StringType(),
+    enc.TYPE_FLOAT64: DoubleType(),
+    enc.TYPE_BINARY: BinaryType(),
 }
 
 
@@ -363,7 +369,12 @@ def rare_token_probe_udf(sketch_bytes: bytes, threshold: int, delimiter: str = "
         # the explode formulation and its SQL oracle; fabricating a
         # 1-token row for NULL would silently diverge from both)
         null_mask = texts.isna().to_numpy()
-        toks = texts.fillna("").str.split(delimiter)
+        # regex=True matches Spark's F.split, which ALWAYS treats the
+        # delimiter as a regex (pandas' default would treat a single-char
+        # "." literally while the explode formulation splits on any char).
+        # Residual caveat: exotic patterns can still differ between Java's
+        # and Python's regex dialects; plain delimiters are identical.
+        toks = texts.fillna("").str.split(delimiter, regex=True)
         lens = toks.str.len().to_numpy(dtype=np.int64)
         if lens.sum() == 0:
             rare_out = lens.copy()

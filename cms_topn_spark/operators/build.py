@@ -135,7 +135,9 @@ def plan_num_partitions(df: DataFrame) -> int:
     # keyed per Spark application: a new session (different parallelism /
     # file layout) must not inherit counts. Within one session, rewriting
     # the same path with a different file count can still serve a stale
-    # count — acceptable because every consumer is a perf-only heuristic.
+    # count — acceptable because every consumer is a perf-only heuristic;
+    # callers that DO rewrite inputs in-session call
+    # invalidate_num_partitions_cache() after the rewrite.
     key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
     n = _NPARTS_CACHE.get(key)
     if n is None:
@@ -143,6 +145,18 @@ def plan_num_partitions(df: DataFrame) -> int:
             _NPARTS_CACHE.clear()
         n = _NPARTS_CACHE[key] = df.rdd.getNumPartitions()
     return n
+
+
+def invalidate_num_partitions_cache(df: DataFrame | None = None) -> None:
+    """Drop memoized partition counts — the cache-bypass hook for callers
+    that rewrite an input path within one Spark application (the memo would
+    otherwise serve the pre-rewrite file count to the perf heuristics).
+    With ``df``, evicts that plan's entry; with no argument, clears all."""
+    if df is None:
+        _NPARTS_CACHE.clear()
+        return
+    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+    _NPARTS_CACHE.pop(key, None)
 
 
 def build_partials(

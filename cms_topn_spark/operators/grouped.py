@@ -29,6 +29,27 @@ from ..core.base import merge_serialized
 from .build import pack_arrow_array
 
 
+# stage-1 dice window bounds: flush on whichever trips first. ~512k rows
+# keeps the per-window Python group loop amortized; ~128 MB of Arrow buffers
+# bounds per-task memory even when the value column is document-sized text.
+_DICE_MAX_ROWS = 524_288
+_DICE_MAX_BYTES = 128 << 20
+
+# Spark value-column dtype → topn item column type; the per-tag decode
+# matches functions/sketch_api._TOPN_SCHEMAS (int family decodes to long,
+# float family to double — the encoding hashes all floats as float64).
+_ITEM_TYPES = {
+    "tinyint": "long",
+    "smallint": "long",
+    "int": "long",
+    "bigint": "long",
+    "float": "double",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+}
+
+
 def _packed_slice_ingest(sk, sl: pa.Array) -> None:
     """Default slice ingest: pack the Arrow slice and add items (CMS/MMS/HLL
     — anything speaking the packed-bytes protocol)."""
@@ -65,6 +86,9 @@ def grouped_sketch_states(
     above 2^53 in the same window."""
     gtype = dict(df.dtypes)[group_col]
     df = df.where(F.col(group_col).isNotNull())
+    # snapshot the caps into the closure (captured by value, so they ship to
+    # the workers with the task instead of re-resolving module globals there)
+    max_rows, max_bytes = _DICE_MAX_ROWS, _DICE_MAX_BYTES
 
     def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         sketches: dict = {}
@@ -95,19 +119,22 @@ def grouped_sketch_states(
                     sk = sketches[key] = factory()
                 ingest(sk, sl)
 
-        # buffer a bounded row window before dicing: one sort + one Python
+        # buffer a bounded window before dicing: one sort + one Python
         # group loop per ~512k rows instead of per 10k-row Arrow batch —
         # at G groups in the task this is G slice-ingests per window, not
-        # G × (batches in window). Bounded, so a wide-text partition can
-        # never force whole-partition buffering.
+        # G × (batches in window). Bounded in ROWS and BYTES: the row cap
+        # alone would let a wide value column (e.g. grouped_topn over
+        # document text) buffer GBs per task, so wide batches flush early
+        # on accumulated Arrow buffer size.
         pend: list = []
-        pend_rows = 0
+        pend_rows = pend_bytes = 0
         for rb in batches:
             pend.append(rb)
             pend_rows += rb.num_rows
-            if pend_rows >= 524_288:
+            pend_bytes += rb.nbytes
+            if pend_rows >= max_rows or pend_bytes >= max_bytes:
                 dice(pa.Table.from_batches(pend).combine_chunks())
-                pend, pend_rows = [], 0
+                pend, pend_rows, pend_bytes = [], 0, 0
         if pend:
             dice(pa.Table.from_batches(pend).combine_chunks())
         if sketches:
@@ -173,20 +200,23 @@ def grouped_topn(
 ) -> DataFrame:
     """Per-group heavy hitters: (group, item, frequency), freq desc per group.
 
-    Items come back with the sketch's BOUND type (int value columns → long
-    item column), matching the driver-level ``topn()`` / ``topn_explode`` —
-    the item type is read from the VALUE column's Spark type, so no driver
-    action is needed. Types outside the topn schema table fall back to their
-    string rendering, as upstream's text output does."""
+    Items come back with the sketch's BOUND type, matching the driver-level
+    ``topn()`` / ``topn_explode`` — the item type is read from the VALUE
+    column's Spark type (int family → long, float family → double, string /
+    binary kept), so no driver action is needed. Only types the item
+    encoding itself cannot represent (encoding.py raises for composites)
+    are outside this table; nothing silently degrades to ``str(item)``."""
     from ..core.base import sketch_from_bytes
     from ..core.cms_topn import CmsTopn
 
     gtype = dict(df.dtypes)[group_col]
     vtype = dict(df.dtypes)[value_col]
-    item_type = {"int": "long", "bigint": "long", "string": "string"}.get(vtype)
-    native = item_type is not None
-    if not native:
-        item_type = "string"
+    item_type = _ITEM_TYPES.get(vtype)
+    if item_type is None:
+        raise TypeError(
+            f"grouped_topn value column type {vtype!r} has no sketch item "
+            f"encoding (supported: {sorted(_ITEM_TYPES)})"
+        )
 
     states = grouped_sketch_states(
         df, group_col, value_col, lambda: CmsTopn(n, e, p, update="linear")
@@ -198,9 +228,15 @@ def grouped_topn(
             sk = sketch_from_bytes(bytes(st))
             for item, freq in sk.topn_list():
                 out_g.append(g)
-                out_i.append(item if native else str(item))
+                out_i.append(item)
                 out_f.append(freq)
-        return pd.DataFrame({group_col: out_g, "item": out_i, "frequency": out_f})
+        return pd.DataFrame(
+            {
+                group_col: out_g,
+                "item": pd.Series(out_i, dtype=object),
+                "frequency": out_f,
+            }
+        )
 
     return states.groupBy(group_col).applyInPandas(
         explode, f"{group_col} {gtype}, item {item_type}, frequency long"

@@ -83,7 +83,13 @@ def corpus_profile(docs, text_col: str = "text") -> dict:
     of crashing (sketch_agg yields None there). A tie at the maximum token
     frequency is broken lexicographically — the CMS top-n's own tie order
     is insertion-sequence (merge-order dependent), which would make the
-    reported token nondeterministic across partitionings."""
+    reported token nondeterministic across partitionings. Limitation: the
+    tie-break only sees the ``n_tokens`` entries the heap RETAINS — if more
+    than ``n_tokens`` tokens tie at the maximum frequency, which tied
+    tokens survive the heap is itself merge-order dependent, so
+    ``top_token`` is deterministic only while max-frequency ties fit within
+    ``n_tokens``. Corpora that may tie wider should raise ``n_tokens`` in
+    :func:`profile_factory` above the expected tie width."""
     sk = sketch_agg(docs.select(text_col), profile_factory(), profile_ingest)
     if sk is None:
         return {

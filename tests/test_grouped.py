@@ -221,3 +221,101 @@ def test_duplicate_clusters_rejects_nonpositive_iters(spark):
     pairs = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
     with _pytest.raises(ValueError, match="max_iters"):
         duplicate_clusters(pairs, max_iters=0)
+
+
+def test_grouped_topn_double_and_binary_items_typed(spark):
+    """Float and binary value columns keep their type through grouped_topn
+    (no str() fallback), matching the driver-level typed topn per group —
+    r4 verdict item: extend the _TOPN_SCHEMAS coverage to every encodable
+    item type."""
+    from pyspark.sql.types import BinaryType, DoubleType
+
+    from cms_topn_spark.functions.sketch_api import cms_topn_add_agg
+
+    rows = [
+        ("a", float(v), bytes([v]))
+        for v in [1, 1, 1, 2, 2, 3]
+    ] + [("b", float(v), bytes([v])) for v in [7, 7, 8]]
+    df = spark.createDataFrame(rows, "g string, dv double, bv binary")
+
+    out_d = grouped_topn(df, "g", "dv", n=2, e=0.0001)
+    assert isinstance(out_d.schema["item"].dataType, DoubleType)
+    got_d = {}
+    for r in out_d.collect():
+        got_d.setdefault(r["g"], {})[r["item"]] = r["frequency"]
+    for g in ("a", "b"):
+        direct = cms_topn_add_agg(df.where(F.col("g") == g), "dv", n=2)
+        assert got_d[g] == dict(direct.topn_list())
+        assert all(isinstance(i, float) for i in got_d[g])
+
+    out_b = grouped_topn(df, "g", "bv", n=2, e=0.0001)
+    assert isinstance(out_b.schema["item"].dataType, BinaryType)
+    got_b = {}
+    for r in out_b.collect():
+        got_b.setdefault(r["g"], {})[bytes(r["item"])] = r["frequency"]
+    for g in ("a", "b"):
+        direct = cms_topn_add_agg(df.where(F.col("g") == g), "bv", n=2)
+        assert got_b[g] == {bytes(i): f for i, f in direct.topn_list()}
+
+
+def test_grouped_topn_smallint_value_promotes_to_long(spark):
+    from pyspark.sql.types import LongType
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2)], "g string, v int"
+    ).select("g", F.col("v").cast("smallint").alias("v"))
+    out = grouped_topn(df, "g", "v", n=2, e=0.0001)
+    assert isinstance(out.schema["item"].dataType, LongType)
+    got = {r["item"]: r["frequency"] for r in out.collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_grouped_topn_unrepresentable_type_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", [1, 2])], "g string, v array<int>")
+    with _pytest.raises(TypeError, match="no sketch item encoding"):
+        grouped_topn(df, "g", "v", n=2)
+
+
+def test_dice_byte_bound_flush_preserves_results(spark, sf001_dir, monkeypatch):
+    """Forcing the byte cap to trip on every Arrow batch (wide-value
+    protection path) must not change any merged state's estimates."""
+    from cms_topn_spark.operators import grouped as grouped_mod
+
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    want = {
+        (r["event_type"], r["user_id"]): r["c"]
+        for r in events.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+        if r["user_id"] < 10
+    }
+    monkeypatch.setattr(grouped_mod, "_DICE_MAX_BYTES", 1)
+    states = grouped_sketch_states(
+        events, "event_type", "user_id",
+        lambda: CmsTopn(10, 0.0001, 0.99, update="linear"),
+    ).collect()
+    for r in states:
+        sk = sketch_from_bytes(bytes(r["state"]))
+        for (et, uid), c in want.items():
+            if et == r["event_type"]:
+                assert sk.estimate(int(uid)) == c
+
+
+def test_invalidate_num_partitions_cache(spark):
+    from cms_topn_spark.operators.build import (
+        _NPARTS_CACHE,
+        invalidate_num_partitions_cache,
+        plan_num_partitions,
+    )
+
+    df = spark.range(0, 100, 1, 7)
+    assert plan_num_partitions(df) == 7
+    key = (spark.sparkContext.applicationId, df.semanticHash())
+    assert key in _NPARTS_CACHE
+    invalidate_num_partitions_cache(df)
+    assert key not in _NPARTS_CACHE
+    assert plan_num_partitions(df) == 7  # re-probes after eviction
+    invalidate_num_partitions_cache()
+    assert not _NPARTS_CACHE

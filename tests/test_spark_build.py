@@ -412,3 +412,38 @@ def test_rare_token_probe_null_text_yields_null_struct(spark):
     rows = {r["doc_id"]: r["s"] for r in df.select("doc_id", probe("text").alias("s")).collect()}
     assert rows[1]["n_tokens"] == 3
     assert rows[2]["n_tokens"] is None and rows[2]["n_rare_tokens"] is None
+
+
+def test_rare_token_probe_regex_delimiter_matches_spark_split(spark):
+    """The probe splits with regex semantics like Spark's F.split: a regex
+    delimiter ("[ ,]") and a regex METACHARACTER delimiter (".") must both
+    agree with the explode formulation (r4 advice: pandas' literal split
+    diverged for such delimiters)."""
+    from pyspark.sql import functions as F
+
+    from cms_topn_spark.functions.sketch_api import (
+        cms_topn_add_agg,
+        rare_token_probe_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b,c a"), (2, "x.y.x"), (3, "a,b c")],
+        "doc_id long, text string",
+    )
+    for delim in ("[ ,]", "."):
+        toks = df.select("doc_id", F.explode(F.split("text", delim)).alias("tok"))
+        sk = cms_topn_add_agg(toks, "tok", n=5, e=0.00002)
+        probe = rare_token_probe_udf(sk.to_bytes(), threshold=2, delimiter=delim)
+        got = {
+            r["doc_id"]: (r["s"]["n_tokens"], r["s"]["n_rare_tokens"])
+            for r in df.select("doc_id", probe("text").alias("s")).collect()
+        }
+        freq = {
+            r["tok"]: r["c"]
+            for r in toks.groupBy("tok").agg(F.count("*").alias("c")).collect()
+        }
+        want = {}
+        for r in toks.collect():
+            n, nr = want.get(r["doc_id"], (0, 0))
+            want[r["doc_id"]] = (n + 1, nr + (1 if freq[r["tok"]] < 2 else 0))
+        assert got == want
