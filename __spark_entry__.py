@@ -796,6 +796,30 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_anti_join(new, "digest", old, "digest", capacity=cap, fpp=1e-9)
 
 
+MEDIA_GATE_N = 64  # synthetic media rows for the multimodal gate
+
+
+def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode pipeline under the hard gate (operators/
+    multimodal.py): synthesize the deterministic x-fake media table (3/4
+    images, 1/4 videos, sizes/seeds pure functions of the id), decode every
+    payload for real, sample video frames (every=2), and reduce each row to
+    engine-exact integer pixel statistics. The DuckDB oracle re-derives the
+    entire pixel stream — per-id parameters and per-pixel splitmix64 channel
+    values — in SQL and must match bit-for-bit. This puts the briefed
+    multimodal family (binary payload + typed metadata + mapInArrow decode/
+    feature plumbing) under the same CORRECTNESS gate as every other
+    operator family; real codecs remain the clearly-marked stub boundary
+    (no codec libraries in this container)."""
+    from cms_topn_spark.operators.multimodal import (
+        media_pixel_stats,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, MEDIA_GATE_N, partitions=4)
+    return media_pixel_stats(media, every=2)
+
+
 SAMPLE_FRACTIONS = {"en": 0.4, "und": 1.0}
 
 
@@ -858,6 +882,7 @@ _ORDER: dict[str, str] = {
     "grouped_user_days": "user_id",
     "ann_lsh_planted_topk": "query_id, rank",
     "cms_vocab_gate": "doc_id",
+    "media_pixel_stats": "media_id",
     "grouped_user_freq": "event_type, user_id",
     "user_sessions": "user_id, session_id",
     "tpch_q1_pricing": "l_returnflag, l_linestatus",
@@ -955,6 +980,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_user_days": q_grouped_user_days,
         "ann_lsh_planted_topk": q_ann_lsh_planted_topk,
         "cms_vocab_gate": q_cms_vocab_gate,
+        "media_pixel_stats": q_media_pixel_stats,
         "grouped_user_freq": q_grouped_user_freq,
         "user_sessions": q_user_sessions,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1083,6 +1109,7 @@ def _raw_oracle_sql() -> dict[str, str]:
                    count(DISTINCT epoch_us(ts) // 86400000000)::BIGINT AS active_days
             FROM events GROUP BY user_id
         """,
+        "media_pixel_stats": _media_stats_sql(),
         "cms_vocab_gate": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
@@ -1198,6 +1225,12 @@ def _raw_oracle_sql() -> dict[str, str]:
         "curate_corpus": _pipeline_sql(),
         "stratified_sample": _stratified_sample_sql(),
     }
+
+
+def _media_stats_sql() -> str:
+    from cms_topn_spark.operators.multimodal import media_pixel_stats_sql
+
+    return media_pixel_stats_sql(MEDIA_GATE_N, every=2)
 
 
 def _pipeline_sql() -> str:

@@ -123,6 +123,125 @@ def synthesize_media(spark: SparkSession, n: int, partitions: int = 4) -> DataFr
     return spark.range(0, n, 1, partitions).mapInArrow(fn, MEDIA_SCHEMA)
 
 
+def media_pixel_stats(df: DataFrame, every: int = 2) -> DataFrame:
+    """Decode → INTEGER pixel statistics per media row — the multimodal
+    family's correctness-gate operator: it drives the real decode path
+    (image decode + video frame sampling) end-to-end and reduces each row to
+    engine-exact integers, so the whole pipeline has a bit-exact DuckDB
+    oracle (:func:`media_pixel_stats_sql` recomputes the deterministic
+    x-fake pixel stream via the SQL splitmix64 rendering).
+
+    Videos contribute frames [0, every, 2·every, …); images their single
+    frame. Output per row: dimensions from the DECODED header (not the
+    metadata columns — proving decode), total channel-value sum, and the
+    lowest/highest grey-histogram bin counts, where grey binning uses the
+    integer identity bin = min((r+g+b) // 96, 7) ≡ min(mean(r,g,b) // 32, 7)
+    — no float in sight. Pure map (mapInArrow), no shuffle; at scale this is
+    the shape every decode/feature stage shares: partition-preserving Arrow
+    batches through a vectorized kernel."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_numpy()
+            payloads = rb.column(1)
+            mimes = rb.column(2).to_pylist()
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "mime", "width", "height",
+                    "n_frames_sampled", "px_sum", "grey_lo", "grey_hi",
+                )
+            }
+            for i in range(len(ids)):
+                mime = mimes[i]
+                payload = payloads[i].as_py()
+                if mime == "x-fake/video":
+                    frames = decode_video_frames(payload, mime, every=every)
+                else:
+                    frames = decode_image(payload, mime)[None]
+                # per-pixel channel sum r+g+b in int64: exact, and the grey
+                # bin is an integer divide of it (see docstring identity)
+                s = frames.astype(np.int64).sum(axis=3)
+                out["media_id"].append(int(ids[i]))
+                out["mime"].append(mime)
+                out["width"].append(frames.shape[2])
+                out["height"].append(frames.shape[1])
+                out["n_frames_sampled"].append(frames.shape[0])
+                out["px_sum"].append(int(s.sum()))
+                out["grey_lo"].append(int((s < 96).sum()))
+                out["grey_hi"].append(int((s >= 672).sum()))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "media_id": pa.array(out["media_id"], pa.int64()),
+                    "mime": pa.array(out["mime"], pa.string()),
+                    "width": pa.array(out["width"], pa.int64()),
+                    "height": pa.array(out["height"], pa.int64()),
+                    "n_frames_sampled": pa.array(out["n_frames_sampled"], pa.int64()),
+                    "px_sum": pa.array(out["px_sum"], pa.int64()),
+                    "grey_lo": pa.array(out["grey_lo"], pa.int64()),
+                    "grey_hi": pa.array(out["grey_hi"], pa.int64()),
+                }
+            )
+
+    return df.select("media_id", "media", "mime").mapInArrow(
+        fn,
+        "media_id long, mime string, width long, height long, "
+        "n_frames_sampled long, px_sum long, grey_lo long, grey_hi long",
+    )
+
+
+def media_pixel_stats_sql(n: int, every: int = 2) -> str:
+    """DuckDB oracle for :func:`media_pixel_stats` over
+    ``synthesize_media(spark, n)``: re-derives the per-id media parameters
+    (w, h, is_video, n_frames) AND every pixel's channel value — splitmix64
+    of (3·pixel + channel + 2·(id + frame)) mod 256, exactly the payload the
+    fake decoder generates — using the bit-exact SQL splitmix64 rendering
+    shared with the winnowing/simhash oracles, then aggregates the same
+    integer statistics. Bit-for-bit, no tolerance."""
+    from .dedup import _splitmix64_sql as sm
+
+    return f"""
+    WITH ids AS (SELECT unnest(range(0, {n})) AS media_id),
+    par AS (
+      SELECT media_id,
+             (16 + {sm("media_id*3+1")} % 48)::BIGINT AS w,
+             (16 + {sm("media_id*3+2")} % 48)::BIGINT AS h,
+             ({sm("media_id*3+3")} % 4 = 0) AS is_vid
+      FROM ids
+    ),
+    par2 AS (
+      SELECT media_id, w, h, is_vid,
+             CASE WHEN is_vid THEN (4 + {sm("media_id*3+4")} % 12)::BIGINT
+                  ELSE 1 END AS nf
+      FROM par
+    ),
+    frames AS (
+      SELECT media_id, w, h, unnest(range(0, nf, {every})) AS f
+      FROM par2
+    ),
+    px AS (
+      SELECT media_id, f, unnest(range(0, w*h)) AS p
+      FROM frames
+    ),
+    vals AS (
+      SELECT media_id,
+             ({sm("3*p + 2*(media_id+f)")} % 256)::BIGINT
+           + ({sm("3*p + 1 + 2*(media_id+f)")} % 256)::BIGINT
+           + ({sm("3*p + 2 + 2*(media_id+f)")} % 256)::BIGINT AS s
+      FROM px
+    )
+    SELECT v.media_id,
+           CASE WHEN p2.is_vid THEN 'x-fake/video' ELSE 'x-fake/image' END AS mime,
+           p2.w AS width, p2.h AS height,
+           ((p2.nf + {every} - 1) // {every})::BIGINT AS n_frames_sampled,
+           sum(v.s)::BIGINT AS px_sum,
+           sum(CASE WHEN v.s < 96 THEN 1 ELSE 0 END)::BIGINT AS grey_lo,
+           sum(CASE WHEN v.s >= 672 THEN 1 ELSE 0 END)::BIGINT AS grey_hi
+    FROM vals v JOIN par2 p2 USING (media_id)
+    GROUP BY v.media_id, p2.is_vid, p2.w, p2.h, p2.nf
+    """
+
+
 def resize_nn(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize (real math, no codec needed)."""
     h, w = img.shape[:2]

@@ -90,3 +90,28 @@ class TestSparkPlumbing:
         )
         topk = brute_force_topk(feats, query_ids=[0, 1], k=3).collect()
         assert len(topk) == 6
+
+
+def test_media_pixel_stats_matches_duckdb_oracle(spark):
+    """The gate operator: decode → integer pixel stats equals the SQL
+    re-derivation of the deterministic pixel stream, bit-for-bit, at several
+    frame-sampling strides."""
+    import duckdb
+
+    from cms_topn_spark.operators.multimodal import (
+        media_pixel_stats,
+        media_pixel_stats_sql,
+    )
+
+    for every in (1, 2, 5):
+        got = sorted(
+            tuple(r)
+            for r in media_pixel_stats(
+                synthesize_media(spark, 24, partitions=3), every=every
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in duckdb.connect().execute(media_pixel_stats_sql(24, every=every)).fetchall()
+        )
+        assert got == want and len(got) == 24
