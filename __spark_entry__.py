@@ -796,6 +796,26 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_anti_join(new, "digest", old, "digest", capacity=cap, fpp=1e-9)
 
 
+def q_fingerprint_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus decontamination at the TRAIN-scale shape
+    (operators/dedup.py fingerprint_contamination): both sides collapse to
+    winnowed fingerprints (window=4 — the standard config, NOT a
+    constructed exact regime) and per-eval-doc containment is computed
+    against the train corpus fingerprint set through uniform-key joins —
+    no broadcast, no per-pair quadratic keyspace, nothing collected. The
+    DuckDB oracle recomputes the ENTIRE fingerprint scheme (splitmix64 via
+    HUGEINT modular multiplies) bit-exactly, so the gate certifies the real
+    windowed operator, not a degenerate configuration. Complements
+    contamination_report's broadcast-eval exact-gram regime (which now
+    raises toward this path when the eval side exceeds broadcast size)."""
+    from cms_topn_spark.operators.dedup import fingerprint_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    return fingerprint_contamination(train, ev, window=4)
+
+
 MEDIA_GATE_N = 64  # synthetic media rows for the multimodal gate
 
 
@@ -897,6 +917,7 @@ _ORDER: dict[str, str] = {
     "exact_dedup": "doc_id",
     "incremental_dedup": "doc_id",
     "contamination_report": "eval_id",
+    "fingerprint_decontamination": "eval_id",
     "doc_chunks": "doc_id, chunk_id",
     "corpus_profile": "distinct_texts",
     "jaccard_pairs": "a_id, b_id",
@@ -995,6 +1016,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "incremental_dedup": q_incremental_dedup,
         "contamination_report": q_contamination_report,
+        "fingerprint_decontamination": q_fingerprint_decontamination,
         "doc_chunks": q_doc_chunks,
         "corpus_profile": q_corpus_profile,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1185,6 +1207,11 @@ def _raw_oracle_sql() -> dict[str, str]:
               (SELECT quantile_cont(n, 0.5) FROM lens) AS len_q50,
               (SELECT quantile_cont(n, 0.75) FROM lens) AS len_q75
         """,
+        "fingerprint_decontamination": dedup.fingerprint_contamination_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
+            window=4,
+        ),
         "contamination_report": dedup.contamination_report_sql(
             "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0",
             "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",

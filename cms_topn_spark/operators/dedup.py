@@ -172,6 +172,7 @@ def contamination_report(
     max_df: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_eval_grams: int | None = 20_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: for each EVAL document, how many TRAIN
     documents contain ≥ threshold of its char-k-gram set, and the maximum
@@ -225,6 +226,21 @@ def contamination_report(
         )
         tg = tg.join(common, "g", "left_anti")
         eg = eg.join(common, "g", "left_anti")
+    # the broadcast below assumes the eval side is benchmark-sized; a caller
+    # handing two corpora would get the documented degenerate regime
+    # SILENTLY (a driver-memory-sized broadcast and a quadratic-ish joined
+    # stream). Fail loudly toward the scale path instead — the count is one
+    # cheap action on the already-checkpointed distinct-gram frame.
+    if max_eval_grams is not None:
+        n_eval_grams = eg.count()
+        if n_eval_grams > max_eval_grams:
+            raise ValueError(
+                f"eval side has {n_eval_grams:,} distinct-text grams, above the "
+                f"broadcast-regime bound ({max_eval_grams:,}); this operator is "
+                "for benchmark-sized eval sets — use fingerprint_contamination "
+                "for corpus-vs-corpus decontamination, or raise max_eval_grams "
+                "explicitly if the eval side genuinely fits the driver"
+            )
     sizes = eg.groupBy("_ek").agg(F.count("*").alias("sz"))
     # eval benchmarks are broadcast-sized by definition: the big side's gram
     # rows stream through a map-side hash join + partial aggregation and
@@ -247,6 +263,74 @@ def contamination_report(
     return e_docs.select(id_col, "_ek").join(per_ek, "_ek").select(
         F.col(id_col).alias("eval_id"), "n_train_matches", "max_containment_ppm"
     )
+
+
+def fingerprint_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-vs-corpus decontamination — the scale path for train-sized
+    inputs on BOTH sides, where :func:`contamination_report`'s
+    broadcast-eval exact-gram regime no longer applies.
+
+    Each side collapses to its winnowed fingerprint set
+    (:func:`winnow_fingerprints`, an expected 2/(window+1) sample of gram
+    positions), and the metric is per-eval-doc fingerprint containment
+    against the TRAIN CORPUS fingerprint set:
+
+        containment = |fp(eval doc) ∩ FP(train)| / |fp(eval doc)|
+
+    in engine-exact integer ppm. Containment is against the corpus-level
+    set, not per train-doc pairs — per-pair containment over two large
+    corpora has a quadratic keyspace (the measured Σdf² blow-up that keeps
+    the exact-gram form broadcast-eval-only), while this form is linear:
+    the train side shuffles fingerprints (64-bit uniform keys) once through
+    a distinct, the eval side joins on the same uniform key, and nothing is
+    broadcast or collected. At ``window=1`` every gram position's hash is
+    selected, so fingerprint containment EQUALS exact distinct-gram
+    containment (the exact regime, property-tested); at ``window>1`` the
+    winnowing guarantee applies — any shared run of ≥ window+k-1 chars
+    shares a fingerprint, so contaminated docs cannot hide — and the DuckDB
+    oracle (:func:`fingerprint_contamination_sql`) recomputes the SAME
+    fingerprint scheme bit-exactly, so the gate holds at any window.
+
+    Output: (eval_id, n_fp, containment_ppm) — one row per eval doc with at
+    least one fingerprint (every non-NULL text has ≥1)."""
+    tfp = winnow_fingerprints(train, window, id_col, text_col).select("fp").distinct()
+    efp = winnow_fingerprints(eval_df, window, id_col, text_col)
+    sizes = efp.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    hits = (
+        efp.join(tfp, "fp", "left_semi").groupBy("doc_id").agg(F.count("*").alias("i"))
+    )
+    return sizes.join(hits, "doc_id", "left").select(
+        F.col("doc_id").alias("eval_id"),
+        F.col("sz").cast("long").alias("n_fp"),
+        F.expr("(1000000 * coalesce(i, 0)) div sz").cast("long").alias("containment_ppm"),
+    )
+
+
+def fingerprint_contamination_sql(train_sql: str, eval_sql: str, window: int = 4) -> str:
+    """Oracle for :func:`fingerprint_contamination`: the full winnowing
+    scheme over both corpora re-rendered in SQL (bit-exact splitmix64, same
+    NUL-padding and window-min selection as :func:`winnow_fingerprints_sql`),
+    then the identical set algebra. ``train_sql`` / ``eval_sql`` must yield
+    (doc_id, text)."""
+    return f"""
+    WITH train_docs AS ({train_sql}),
+    eval_docs AS ({eval_sql}),
+    tfp AS (SELECT DISTINCT fp FROM ({winnow_fingerprints_sql("train_docs", window)})),
+    efp AS (SELECT doc_id, fp FROM ({winnow_fingerprints_sql("eval_docs", window)})),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM efp GROUP BY doc_id),
+    hits AS (
+      SELECT e.doc_id, count(*) AS i FROM efp e JOIN tfp USING (fp) GROUP BY e.doc_id
+    )
+    SELECT s.doc_id AS eval_id, s.sz::BIGINT AS n_fp,
+           ((1000000 * coalesce(h.i, 0)) // s.sz)::BIGINT AS containment_ppm
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """
 
 
 def contamination_report_sql(

@@ -8,6 +8,7 @@ import os
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 TABLES = ("documents", "embeddings", "events")
 
@@ -687,3 +688,89 @@ def test_corpus_profile_empty_and_null_corpus(spark):
     nulls = spark.createDataFrame([(None,), (None,)], "text string")
     p2 = corpus_profile(nulls)
     assert p2["total_tokens"] == 0 and p2["len_q50"] is None
+
+
+class TestFingerprintContamination:
+    def test_matches_duckdb_oracle(self, spark, sf001_dir):
+        import duckdb
+
+        from cms_topn_spark.operators.dedup import (
+            fingerprint_contamination,
+            fingerprint_contamination_sql,
+        )
+
+        docs = spark.read.parquet(os.path.join(sf001_dir, "documents.parquet"))
+        train = docs.where(F.col("doc_id") % 10 != 0)
+        ev = docs.where(F.col("doc_id") % 10 == 0)
+        got = sorted(
+            tuple(r) for r in fingerprint_contamination(train, ev, window=4).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf001_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                fingerprint_contamination_sql(
+                    "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0",
+                    "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
+                    window=4,
+                )
+            ).fetchall()
+        )
+        assert got == want and len(got) > 0
+
+    def test_window1_equals_exact_gram_containment(self, spark):
+        """window=1 selects every gram-position hash, so fingerprint
+        containment must EQUAL exact distinct-gram containment — the exact
+        regime the docstring claims."""
+        from cms_topn_spark.operators.dedup import (
+            SHINGLE_K,
+            fingerprint_contamination,
+        )
+
+        rows_t = [(1, "the quick brown fox jumps over the lazy dog today"),
+                  (2, "machine learning at scale with sketches and joins")]
+        rows_e = [(10, "the quick brown fox jumps over the lazy dog today"),  # full dup
+                  (11, "completely unrelated eval question text here now")]
+        train = spark.createDataFrame(rows_t, "doc_id long, text string")
+        ev = spark.createDataFrame(rows_e, "doc_id long, text string")
+        got = {
+            r["eval_id"]: r["containment_ppm"]
+            for r in fingerprint_contamination(train, ev, window=1).collect()
+        }
+        # exact distinct-gram containment computed directly in python
+        def grams(t):
+            n = max(len(t) - SHINGLE_K + 1, 1)
+            padded = t.encode().ljust(n + SHINGLE_K - 1, b"\0")
+            return {padded[i:i + SHINGLE_K] for i in range(n)}
+
+        tset = set().union(*(grams(t) for _, t in rows_t))
+        for eid, t in rows_e:
+            eg = grams(t)
+            want = (1_000_000 * len(eg & tset)) // len(eg)
+            assert got[eid] == want
+        assert got[10] == 1_000_000  # the planted full duplicate flags
+
+    def test_contamination_report_eval_size_guard(self, spark):
+        import pytest as _pytest
+
+        from cms_topn_spark.operators.dedup import contamination_report
+
+        docs = spark.createDataFrame(
+            [(i, f"document number {i} with some shared text") for i in range(12)],
+            "doc_id long, text string",
+        )
+        with _pytest.raises(ValueError, match="fingerprint_contamination"):
+            contamination_report(
+                docs.where(F.col("doc_id") % 2 == 0),
+                docs.where(F.col("doc_id") % 2 == 1),
+                max_eval_grams=10,
+            ).collect()
+        # and the default bound leaves benchmark-sized evals untouched
+        out = contamination_report(
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+        )
+        assert out.count() >= 0
