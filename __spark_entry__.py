@@ -741,6 +741,31 @@ def q_ann_lsh_planted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_planted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SUBLINEAR IVF config under the hard gate, mirroring
+    q_ann_lsh_planted_topk: each query vector is re-added at vec_id+10⁶ as
+    an IDENTICAL copy (not scaled — IVF assigns by L2, so only an identical
+    vector is guaranteed the same cell under ANY centroid set), which makes
+    recall of the true nearest neighbor 1.0 BY CONSTRUCTION independent of
+    k-means quality: the copy's cell is exactly the query's own nearest
+    cell, so n_probe=1 of n_cells=16 (~6 % of the corpus probed, fraction
+    asserted below and measured in pytest) always contains the cosine-1
+    top-1. The oracle is DuckDB brute force over the same planted corpus.
+    Complements ann_ivf_topk's full-probe (n_probe == n_cells) exactness
+    regime — together they gate both ends of the recall/probed-fraction
+    dial the 100-TB deployment tunes."""
+    from cms_topn_spark.operators.ivf import ivf_topk
+
+    n_cells, n_probe = 16, 1
+    assert n_probe / n_cells <= 0.125, "probe fraction must stay sublinear"
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        (F.col("vec_id") + F.lit(PLANTED_NN_OFFSET)).alias("vec_id"), "embedding"
+    )
+    planted = emb.unionByName(dup)
+    return ivf_topk(planted, ANN_QUERY_IDS, k=1, n_cells=n_cells, n_probe=n_probe)
+
+
 def q_cms_vocab_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-driven vocabulary gating — the CMS used INSIDE a pipeline
     transform: pass 1 folds the corpus token stream into one CMS (mergeable
@@ -901,6 +926,7 @@ _ORDER: dict[str, str] = {
     "grouped_kll_quantiles": "user_id",
     "grouped_user_days": "user_id",
     "ann_lsh_planted_topk": "query_id, rank",
+    "ann_ivf_planted_topk": "query_id, rank",
     "cms_vocab_gate": "doc_id",
     "media_pixel_stats": "media_id",
     "grouped_user_freq": "event_type, user_id",
@@ -1000,6 +1026,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_kll_quantiles": q_grouped_kll_quantiles,
         "grouped_user_days": q_grouped_user_days,
         "ann_lsh_planted_topk": q_ann_lsh_planted_topk,
+        "ann_ivf_planted_topk": q_ann_ivf_planted_topk,
         "cms_vocab_gate": q_cms_vocab_gate,
         "media_pixel_stats": q_media_pixel_stats,
         "grouped_user_freq": q_grouped_user_freq,
@@ -1239,6 +1266,21 @@ def _raw_oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT vec_id + {PLANTED_NN_OFFSET},
                      list_transform(embedding, x -> x * 2)
+              FROM embeddings
+              WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+            ), """,
+        ),
+        # sublinear IVF (n_probe=1 of 16 cells) on the identical-copy planted
+        # corpus vs brute force over the same corpus (L2-identical copy ⇒
+        # same cell under any centroids ⇒ recall 1.0 by construction)
+        "ann_ivf_planted_topk": similarity.brute_force_topk_sql(
+            ANN_QUERY_IDS,
+            k=1,
+            table="planted",
+            prelude=f"""planted AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + {PLANTED_NN_OFFSET}, embedding
               FROM embeddings
               WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
             ), """,

@@ -72,3 +72,48 @@ def test_empty_query_ids_returns_empty(spark, emb):
     out = ivf.ivf_topk(emb, query_ids=[987654321], k=5, n_cells=8, n_probe=2, iters=1)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "rank"]
+
+
+def test_ivf_planted_sublinear_probes_fraction_and_recall(spark, sf001_dir):
+    """The gated sublinear config (n_probe=1 of 16 cells): the probed cells
+    cover a small fraction of the corpus, yet recall of the planted
+    identical-copy nearest neighbor is 1.0 by construction."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cms_topn_spark.operators.ivf import ivf_assign, ivf_topk, kmeans_fit
+
+    qids = list(range(20))
+    off = 1_000_000
+    emb = (
+        spark.read.parquet(os.path.join(sf001_dir, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+    )
+    dup = emb.where(F.col("vec_id").isin(qids)).select(
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding"
+    )
+    planted = emb.unionByName(dup)
+    n_corpus = planted.count()
+
+    # measured probed fraction: queries' nearest cells vs cell populations
+    cents = kmeans_fit(planted, n_cells=16, iters=3)
+    assigned = ivf_assign(planted, cents)
+    cell_sizes = {
+        r["cell"]: r["n"]
+        for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    qrows = planted.where(F.col("vec_id").isin(qids)).collect()
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    d2 = (q_mat * q_mat).sum(1)[:, None] - 2.0 * (q_mat @ cents.T)
+    d2 += (cents * cents).sum(1)[None, :]
+    probed = d2.argmin(axis=1)
+    frac = sum(cell_sizes.get(int(c), 0) for c in probed) / (len(qids) * n_corpus)
+    assert frac < 0.35, frac  # mean probed fraction ≪ the corpus
+
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(planted, qids, k=1, n_cells=16, n_probe=1).collect()
+    }
+    assert got == {q: q + off for q in qids}  # recall 1.0 by construction
