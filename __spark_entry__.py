@@ -587,6 +587,24 @@ def q_grouped_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_kll_quantiles_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-group quantiles through the COLUMNAR-DIRECT ingest
+    (sources/parquet_direct.py + grouped_quantiles_parquet): each task reads
+    its own parquet split with pyarrow and folds it, skipping Spark's
+    columnar→row→Arrow double pivot. Measured on this box the pivot is the
+    operator's dominant cost at scale (~8× the scan's own CPU) and its
+    per-thread throughput drops ~2.6× from 2 to 8 task threads, capping the
+    DataFrame form's N→4N efficiency at ~0.44; the direct form restores the
+    fold's own scaling (bench.py query-scaling section). Same fold, same
+    states-only exchange, same readout — and the same quantile_cont oracle,
+    which this entry passes bitwise like the DataFrame form."""
+    from cms_topn_spark.operators.grouped import grouped_quantiles_parquet
+
+    return grouped_quantiles_parquet(
+        spark, os.path.join(sf_dir, "events.parquet"), "user_id", "value", k=4096
+    )
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship one-scan multi-sketch shape UNDER the oracle gate
     (plans/profile.py): a single pass over documents builds token CMS top-n
@@ -924,6 +942,7 @@ _ORDER: dict[str, str] = {
     "stream_windowed_topn": "window_start, frequency DESC, item",
     "stream_dedup": "digest",
     "grouped_kll_quantiles": "user_id",
+    "grouped_kll_quantiles_direct": "user_id",
     "grouped_user_days": "user_id",
     "ann_lsh_planted_topk": "query_id, rank",
     "ann_ivf_planted_topk": "query_id, rank",
@@ -1024,6 +1043,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_topn": q_stream_windowed_topn,
         "stream_dedup": q_stream_dedup,
         "grouped_kll_quantiles": q_grouped_kll_quantiles,
+        "grouped_kll_quantiles_direct": q_grouped_kll_quantiles_direct,
         "grouped_user_days": q_grouped_user_days,
         "ann_lsh_planted_topk": q_ann_lsh_planted_topk,
         "ann_ivf_planted_topk": q_ann_ivf_planted_topk,
@@ -1147,6 +1167,14 @@ def _raw_oracle_sql() -> dict[str, str]:
             SELECT DISTINCT md5(text) AS digest FROM documents
         """,
         "grouped_kll_quantiles": """
+            SELECT user_id,
+                   quantile_cont(value, 0.25) AS q25,
+                   quantile_cont(value, 0.5)  AS q50,
+                   quantile_cont(value, 0.75) AS q75
+            FROM events GROUP BY user_id
+        """,
+        # identical semantics through the columnar-direct ingest — same oracle
+        "grouped_kll_quantiles_direct": """
             SELECT user_id,
                    quantile_cont(value, 0.25) AS q25,
                    quantile_cont(value, 0.5)  AS q50,

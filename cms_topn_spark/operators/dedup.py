@@ -462,15 +462,37 @@ def _minhash_signatures(texts: pd.Series, k: int = SHINGLE_K) -> np.ndarray:
     return _signatures_from_hashes(d_u, h1, n)
 
 
+def _mod_mersenne61_inplace(vals: np.ndarray) -> np.ndarray:
+    """``vals %= 2^61-1`` computed EXACTLY (bit-identical to ``%``) without
+    the 64-bit division: for x < 2^64, x ≡ (x & M) + (x >> 61) (mod M) and
+    that sum is < M + 8, so one fold plus one conditional subtract finishes.
+    numpy's uint64 ``%`` is a scalar divide per element (~30+ cycles); the
+    fold is 4 one-cycle vector passes — it removes the kernel's dominant
+    cost. Works in place; returns ``vals``."""
+    m = U64(_MERSENNE)
+    hi = vals >> U64(61)
+    vals &= m
+    vals += hi
+    # conditional subtract without a bool temp or the (slow) where= ufunc
+    # path: vals - m WRAPS to a huge value exactly when vals < m, so the
+    # minimum picks the reduced value iff vals >= m
+    np.minimum(vals, vals - m, out=vals)
+    return vals
+
+
 def _signatures_from_hashes(d_u: np.ndarray, h1: np.ndarray, n: int) -> np.ndarray:
     a, b = _perm_params()
-    hv = (h1 % U64(_MERSENNE)).astype(U64)
+    hv = _mod_mersenne61_inplace(h1.astype(U64, copy=True))
     seg_starts = np.flatnonzero(np.concatenate(([True], d_u[1:] != d_u[:-1])))
     docs_present = d_u[seg_starts]
     out = np.full((n, N_PERM), U64(0), dtype=U64)
-    # perm-major (contiguous inner loops) and doc-segment chunks: each temp is
-    # (block, <=CHUNK) ≈ 32 MB, cache-friendlier and arena-bounded
-    block, CHUNK = 32, 4_000_000 // 32
+    # perm-major (contiguous inner loops) and doc-segment chunks. Temp size
+    # matters twice: it must stay arena-bounded AND cache-resident — at
+    # (block × CHUNK) ≈ 4 MB the mul/add/fold passes over ``vals`` hit L2/L3
+    # even with every core running the kernel, where the previous 32 MB temp
+    # × N workers overflowed the shared L3 and every pass went to DRAM
+    # (measured: ~3× CPU inflation at 8 concurrent workers).
+    block, CHUNK = 32, 16_384
     n_seg = len(seg_starts)
     seg_ends = np.concatenate((seg_starts[1:], [len(d_u)]))
     s = 0
@@ -486,7 +508,7 @@ def _signatures_from_hashes(d_u: np.ndarray, h1: np.ndarray, n: int) -> np.ndarr
         for p0 in range(0, N_PERM, block):
             vals = a[p0 : p0 + block][:, None] * hslice[None, :]
             vals += b[p0 : p0 + block][:, None]
-            vals %= U64(_MERSENNE)
+            _mod_mersenne61_inplace(vals)
             out[rows, p0 : p0 + block] = np.minimum.reduceat(vals, local_starts, axis=1).T
         s = e
     return out
@@ -516,6 +538,20 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+# docs per kernel invocation: bounds every intermediate (gram buffer,
+# lexsort temps, murmur matrix, signature chunk) to a few MB so the whole
+# pass stays cache-resident — measured 2.5× faster than whole-batch arrays
+# single-threaded AND concurrency-neutral (whole-batch temps stream through
+# the shared L3, so N concurrent workers inflate each other's CPI; see the
+# per-query scaling protocol in bench.py)
+_KERNEL_DOC_CHUNK = 512
+
+
+def _doc_chunks(rb: pa.RecordBatch) -> Iterator[pa.RecordBatch]:
+    for lo in range(0, rb.num_rows, _KERNEL_DOC_CHUNK):
+        yield rb.slice(lo, _KERNEL_DOC_CHUNK)
+
+
 def minhash_band_keys(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -523,20 +559,21 @@ def minhash_band_keys(
     df = _spread(df)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for rb in batches:
-            pdf = rb.to_pandas()
-            sig = _minhash_signatures(pdf[text_col])
-            n = len(pdf)
-            key = _band_keys_from_sig(sig)
-            ids = np.repeat(pdf[id_col].to_numpy(), N_BANDS)
-            band_idx = np.tile(np.arange(N_BANDS), n)
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "band": pa.array(band_idx, pa.int32()),
-                    "key": pa.array(key.ravel().astype(np.int64), pa.int64()),
-                }
-            )
+        for whole in batches:
+            for rb in _doc_chunks(whole):
+                pdf = rb.to_pandas()
+                sig = _minhash_signatures(pdf[text_col])
+                n = len(pdf)
+                key = _band_keys_from_sig(sig)
+                ids = np.repeat(pdf[id_col].to_numpy(), N_BANDS)
+                band_idx = np.tile(np.arange(N_BANDS), n)
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "band": pa.array(band_idx, pa.int32()),
+                        "key": pa.array(key.ravel().astype(np.int64), pa.int64()),
+                    }
+                )
 
     return df.select(id_col, text_col).mapInArrow(fn, "doc_id long, band int, key long")
 
@@ -559,28 +596,29 @@ def minhash_doc_features(
     df = _spread(df)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for rb in batches:
-            pdf = rb.to_pandas()
-            n = len(pdf)
-            if n == 0:
-                continue
-            d_u, h1, _ = _doc_gram_hashes(pdf[text_col])
-            sig = _signatures_from_hashes(d_u, h1, n)
-            keys = _band_keys_from_sig(sig).astype(np.int64)
-            # every doc has ≥1 gram (zero-padded), so segments cover 0..n-1
-            counts = np.bincount(d_u, minlength=n)
-            g_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
-            grams = pa.ListArray.from_arrays(
-                pa.array(g_off, pa.int64()), pa.array(h1.view(np.int64), pa.int64())
-            )
-            k_off = np.arange(0, (n + 1) * N_BANDS, N_BANDS, dtype=np.int64)
-            keys_arr = pa.ListArray.from_arrays(
-                pa.array(k_off, pa.int64()), pa.array(keys.ravel(), pa.int64())
-            )
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(pdf[id_col].to_numpy(), pa.int64()), keys_arr, grams],
-                ["doc_id", "keys", "grams"],
-            )
+        for whole in batches:
+            for rb in _doc_chunks(whole):
+                pdf = rb.to_pandas()
+                n = len(pdf)
+                if n == 0:
+                    continue
+                d_u, h1, _ = _doc_gram_hashes(pdf[text_col])
+                sig = _signatures_from_hashes(d_u, h1, n)
+                keys = _band_keys_from_sig(sig).astype(np.int64)
+                # every doc has ≥1 gram (zero-padded), so segments cover 0..n-1
+                counts = np.bincount(d_u, minlength=n)
+                g_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+                grams = pa.ListArray.from_arrays(
+                    pa.array(g_off, pa.int64()), pa.array(h1.view(np.int64), pa.int64())
+                )
+                k_off = np.arange(0, (n + 1) * N_BANDS, N_BANDS, dtype=np.int64)
+                keys_arr = pa.ListArray.from_arrays(
+                    pa.array(k_off, pa.int64()), pa.array(keys.ravel(), pa.int64())
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(pdf[id_col].to_numpy(), pa.int64()), keys_arr, grams],
+                    ["doc_id", "keys", "grams"],
+                )
 
     return df.select(id_col, text_col).mapInArrow(
         fn, "doc_id long, keys array<long>, grams array<long>"

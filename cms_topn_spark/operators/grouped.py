@@ -63,32 +63,22 @@ def numeric_slice_ingest(sk, sl: pa.Array) -> None:
     sk.add_batch(sl.to_numpy(zero_copy_only=False).astype(np.float64))
 
 
-def grouped_sketch_states(
-    df: DataFrame,
+def _state_fold(
     group_col: str,
     value_col: str,
     factory: Callable[[], object],
-    ingest: Callable[[object, pa.Array], None] = _packed_slice_ingest,
-) -> DataFrame:
-    """(group, state): one merged serialized sketch per group, two-level.
-
-    No input spreading here (unlike the dedup kernels): round-robin
-    repartitioning scatters every group into every task, multiplying the
-    stage-1 state count by the task count (measured 1.5× SLOWER on the
-    single-file test corpus than the serial fold it parallelizes) — and at
-    real scale inputs already have ≥ cores splits, so spreading buys
-    nothing there either.
-
-    NULL group keys are dropped up front (documented semantics, like
-    aggregate functions skipping NULLs): letting them through would
-    float64-coerce an int key column inside the Arrow kernel (NaN for the
-    null), breaking the declared schema — and silently corrupting int keys
-    above 2^53 in the same window."""
-    gtype = dict(df.dtypes)[group_col]
-    df = df.where(F.col(group_col).isNotNull())
+    ingest: Callable[[object, pa.Array], None],
+    drop_null_keys: bool = False,
+) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
+    """The stage-1 fold as a batches→batches kernel, shared by the
+    DataFrame path (``mapInArrow`` after a Spark scan) and the
+    columnar-direct path (``sources.parquet_direct`` — no JVM row pivot).
+    ``drop_null_keys`` performs the NULL-group drop inside the kernel for
+    the direct path, where no Catalyst filter ran upstream."""
     # snapshot the caps into the closure (captured by value, so they ship to
     # the workers with the task instead of re-resolving module globals there)
     max_rows, max_bytes = _DICE_MAX_ROWS, _DICE_MAX_BYTES
+    cols = [group_col, value_col]
 
     def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         sketches: dict = {}
@@ -129,6 +119,9 @@ def grouped_sketch_states(
         pend: list = []
         pend_rows = pend_bytes = 0
         for rb in batches:
+            rb = rb.select(cols)  # order by NAME — file schema order varies
+            if drop_null_keys and rb.column(0).null_count:
+                rb = rb.filter(pc.is_valid(rb.column(0)))
             pend.append(rb)
             pend_rows += rb.num_rows
             pend_bytes += rb.nbytes
@@ -146,10 +139,10 @@ def grouped_sketch_states(
                 }
             )
 
-    states = df.select(group_col, value_col).mapInArrow(
-        partials, f"{group_col} {gtype}, state binary"
-    )
+    return partials
 
+
+def _merge_states(states: DataFrame, group_col: str, gtype: str) -> DataFrame:
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = None
         for st in pdf["state"]:
@@ -159,6 +152,64 @@ def grouped_sketch_states(
     return states.groupBy(group_col).applyInPandas(
         merge_group, f"{group_col} {gtype}, state binary"
     )
+
+
+def grouped_sketch_states(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    factory: Callable[[], object],
+    ingest: Callable[[object, pa.Array], None] = _packed_slice_ingest,
+) -> DataFrame:
+    """(group, state): one merged serialized sketch per group, two-level.
+
+    No input spreading here (unlike the dedup kernels): round-robin
+    repartitioning scatters every group into every task, multiplying the
+    stage-1 state count by the task count (measured 1.5× SLOWER on the
+    single-file test corpus than the serial fold it parallelizes) — and at
+    real scale inputs already have ≥ cores splits, so spreading buys
+    nothing there either.
+
+    NULL group keys are dropped up front (documented semantics, like
+    aggregate functions skipping NULLs): letting them through would
+    float64-coerce an int key column inside the Arrow kernel (NaN for the
+    null), breaking the declared schema — and silently corrupting int keys
+    above 2^53 in the same window."""
+    gtype = dict(df.dtypes)[group_col]
+    df = df.where(F.col(group_col).isNotNull())
+    partials = _state_fold(group_col, value_col, factory, ingest)
+    states = df.select(group_col, value_col).mapInArrow(
+        partials, f"{group_col} {gtype}, state binary"
+    )
+    return _merge_states(states, group_col, gtype)
+
+
+def grouped_sketch_states_parquet(
+    spark,
+    path: str,
+    group_col: str,
+    value_col: str,
+    factory: Callable[[], object],
+    ingest: Callable[[object, pa.Array], None] = _packed_slice_ingest,
+) -> DataFrame:
+    """:func:`grouped_sketch_states` over a parquet path via the
+    COLUMNAR-DIRECT ingest (sources/parquet_direct.py): each task reads its
+    own file split with pyarrow and folds it, skipping Spark's columnar →
+    row → Arrow double pivot — measured on this box the pivot costs ~8× the
+    scan itself in JVM CPU and its per-thread throughput drops ~2.6× at 8
+    task threads, which capped this operator's N→4N scaling at ~0.44 while
+    the fold itself scaled cleanly. Same states, same merge, same oracle;
+    the trade (no Catalyst pushdown into the scan) is documented in the
+    source module."""
+    from ..sources.parquet_direct import map_parquet_batches, spark_type_of
+
+    gtype = spark_type_of(path, group_col)
+    partials = _state_fold(group_col, value_col, factory, ingest, drop_null_keys=True)
+    states = map_parquet_batches(
+        spark, path, [group_col, value_col], partials,
+        f"{group_col} {gtype}, state binary",
+    )
+    return _merge_states(states, group_col, gtype)
 
 
 def grouped_probe(
@@ -271,6 +322,14 @@ def grouped_quantiles(
     states = grouped_sketch_states(
         df, group_col, value_col, lambda: KllSketch(k), ingest=numeric_slice_ingest
     )
+    return _quantiles_readout(states, group_col, gtype, qs, q_names)
+
+
+def _quantiles_readout(
+    states: DataFrame, group_col: str, gtype: str, qs: tuple, q_names: tuple
+) -> DataFrame:
+    from ..core.base import sketch_from_bytes
+
     schema = f"{group_col} {gtype}, " + ", ".join(f"{n} double" for n in q_names)
 
     def read_quantiles(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -287,6 +346,34 @@ def grouped_quantiles(
             yield pd.DataFrame(out)
 
     return states.mapInPandas(read_quantiles, schema)
+
+
+def grouped_quantiles_parquet(
+    spark,
+    path: str,
+    group_col: str,
+    value_col: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+    q_names: tuple = ("q25", "q50", "q75"),
+    k: int = 200,
+) -> DataFrame:
+    """:func:`grouped_quantiles` over a parquet path via the columnar-direct
+    ingest — identical semantics and oracle (same fold, same states-only
+    exchange, same distributed readout); the scan feeds the Python kernel
+    columnar-to-columnar instead of through Spark's row pivot, which is
+    this operator's dominant cost and scaling cap on wide parallelism (see
+    :func:`grouped_sketch_states_parquet` for the measurements)."""
+    from ..core.kll import KllSketch
+    from ..sources.parquet_direct import spark_type_of
+
+    if len(qs) != len(q_names):
+        raise ValueError("qs and q_names must have the same length")
+    gtype = spark_type_of(path, group_col)
+    states = grouped_sketch_states_parquet(
+        spark, path, group_col, value_col, lambda: KllSketch(k),
+        ingest=numeric_slice_ingest,
+    )
+    return _quantiles_readout(states, group_col, gtype, qs, q_names)
 
 
 def grouped_distinct(

@@ -319,3 +319,59 @@ def test_invalidate_num_partitions_cache(spark):
     assert plan_num_partitions(df) == 7  # re-probes after eviction
     invalidate_num_partitions_cache()
     assert not _NPARTS_CACHE
+
+
+def test_grouped_quantiles_parquet_direct_matches_dataframe_form(spark, sf001_dir):
+    """The columnar-direct ingest (no JVM row pivot) produces bitwise the
+    same per-group quantiles as the DataFrame form, and drops NULL group
+    keys / all-NULL value groups with the same semantics."""
+    import tempfile
+
+    from cms_topn_spark.operators.grouped import (
+        grouped_quantiles,
+        grouped_quantiles_parquet,
+    )
+
+    path = os.path.join(sf001_dir, "events.parquet")
+    a = sorted(
+        tuple(r)
+        for r in grouped_quantiles(
+            spark.read.parquet(path), "user_id", "value", k=4096
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in grouped_quantiles_parquet(spark, path, "user_id", "value", k=4096).collect()
+    )
+    assert a == b and len(a) > 0
+
+    tmp = tempfile.mkdtemp()
+    p2 = os.path.join(tmp, "t.parquet")
+    spark.createDataFrame(
+        [(1, 1.0), (None, 2.0), (1, 3.0), (2, None)], "g int, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(p2)
+    got = sorted(
+        tuple(r)
+        for r in grouped_quantiles_parquet(
+            spark, p2, "g", "v", qs=(0.5,), q_names=("q50",)
+        ).collect()
+    )
+    assert got == [(1, 2.0)]
+
+
+def test_parquet_direct_column_order_independent(spark, tmp_path):
+    """The fold selects columns by NAME — a file whose schema stores the
+    value column before the group column must still fold correctly."""
+    from cms_topn_spark.operators.grouped import grouped_quantiles_parquet
+
+    p = str(tmp_path / "rev.parquet")
+    spark.createDataFrame(
+        [(1.0, 7), (3.0, 7), (5.0, 8)], "v double, g int"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    got = sorted(
+        tuple(r)
+        for r in grouped_quantiles_parquet(
+            spark, p, "g", "v", qs=(0.5,), q_names=("q50",)
+        ).collect()
+    )
+    assert got == [(7, 2.0), (8, 5.0)]
