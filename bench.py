@@ -6,9 +6,12 @@ Prints ONE JSON line on stdout:
    "scaling": {"docs": N, "local2": {...}, "local8": {...},
                "efficiency": ...}}
 
-Two parts:
+Three parts:
 1. Headline queries over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
    on local[$SPARK_GRAFT_CPUS].
+2b. Per-query N-vs-4N scaling for the two most expensive headline pipelines
+   over deterministic scaled-up inputs (run_query_scaling; BENCH/BASELINE.md
+   §2b) — SPARK_GRAFT_SKIP_QSCALING=1 skips it.
 2. The north-rule scaling protocol (BASELINE.md row 12): the flagship
    one-scan multi-sketch job (URL/host/token heavy hitters + URL HLL over the
    synthetic webpages table) at local[2] vs local[8] (N vs 4N cores) on the
@@ -375,7 +378,8 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
 QSCALING_MINHASH_DOCS = int(os.environ.get("SPARK_GRAFT_QS_DOCS", "90000"))
 QSCALING_KLL_ROWS = int(os.environ.get("SPARK_GRAFT_QS_ROWS", "60000000"))
 QSCALING_KLL_GROUPS = 2000
-QSCALING_REPS = 2
+QSCALING_REPS = 3  # best-of-3: the section has no storm-retry loop, so a third
+# interleaved pair is the cheap insurance against one contaminated rep
 QSCALING_BUDGET = float(os.environ.get("SPARK_GRAFT_QS_BUDGET", "480"))
 
 
