@@ -465,7 +465,9 @@ def run_query_scaling(levels=SCALING_LEVELS, reps: int = QSCALING_REPS) -> dict:
                 # warm each pipeline on a small same-shape input: full-size
                 # batches, ~1 wave of tasks
                 minhash_lsh_pairs(docs.where(F.col("doc_id") < 3000)).count()
-                grouped_quantiles_parquet(spark, ev_warm_path, "user_id", "value").count()
+                grouped_quantiles_parquet(
+                    spark, ev_warm_path, "user_id", "value", k=4096
+                ).count()
                 for name, thunk in (
                     ("minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs).count()),
                     (
@@ -476,9 +478,12 @@ def run_query_scaling(levels=SCALING_LEVELS, reps: int = QSCALING_REPS) -> dict:
                         # from 2 to 8 threads for the same rows, measured via
                         # a pass-through kernel), capping raw efficiency at
                         # ~0.44 regardless of the fold. BENCH/BASELINE.md §3.
+                        # k=4096 matches the GATED query's sketch config —
+                        # certifying a different k would measure a different
+                        # compaction/merge workload than the oracle-gated one
                         "grouped_kll_quantiles_direct",
                         lambda: grouped_quantiles_parquet(
-                            spark, ev_path, "user_id", "value"
+                            spark, ev_path, "user_id", "value", k=4096
                         ).count(),
                     ),
                 ):

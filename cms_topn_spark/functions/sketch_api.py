@@ -195,11 +195,13 @@ def topn_explode(
     round-trip scenario (output/copy.source:9-17: 6 sketches → concatenated
     groups). NULL/empty states contribute 0 rows.
 
-    Items come back with the sketches' BOUND type (int sketches → long
-    column), matching the driver-level :func:`topn`. When ``type_tag`` is
-    not given it is read from the first non-NULL state (one footer-sized
-    driver action); types outside the topn schema table (float64, binary)
-    fall back to their string rendering, as upstream's text output does."""
+    Items come back with the sketches' BOUND type (int family → long, float
+    family → double, string/binary kept), matching the driver-level
+    :func:`topn`. When ``type_tag`` is not given it is read from the first
+    non-NULL state (one footer-sized driver action). Every encodable tag is
+    in the schema table, so typed columns are the rule; only unbound
+    (TYPE_UNSET) sketches render as strings, and a column mixing bound tags
+    raises rather than silently stringifying."""
     from pyspark.sql.types import ArrayType
 
     if type_tag is None:

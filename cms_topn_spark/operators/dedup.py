@@ -215,6 +215,23 @@ def contamination_report(
     ed = e_docs.groupBy("_ek").agg(F.first(text_col).alias(text_col))
     tg = _shingle_rows(td, "_tk", text_col).select("_tk", "g").localCheckpoint(eager=True)
     eg = _shingle_rows(ed, "_ek", text_col).select("_ek", "g").localCheckpoint(eager=True)
+    # the broadcast below assumes the eval side is benchmark-sized; a caller
+    # handing two corpora would get the documented degenerate regime
+    # SILENTLY (a driver-memory-sized broadcast and a quadratic-ish joined
+    # stream). Fail loudly toward the scale path instead. Counted on the
+    # CHECKPOINTED pre-prune frame (one cheap action); max_df pruning only
+    # shrinks the eval side, so the pre-prune count is a sound upper bound —
+    # counting post-prune would re-run the train-side df aggregation.
+    if max_eval_grams is not None:
+        n_eval_grams = eg.count()
+        if n_eval_grams > max_eval_grams:
+            raise ValueError(
+                f"eval side has {n_eval_grams:,} distinct-text grams, above the "
+                f"broadcast-regime bound ({max_eval_grams:,}); this operator is "
+                "for benchmark-sized eval sets — use fingerprint_contamination "
+                "for corpus-vs-corpus decontamination, or raise max_eval_grams "
+                "explicitly if the eval side genuinely fits the driver"
+            )
     if max_df is not None:
         # document frequency = Σ multiplicity over distinct texts carrying g
         common = (
@@ -226,21 +243,6 @@ def contamination_report(
         )
         tg = tg.join(common, "g", "left_anti")
         eg = eg.join(common, "g", "left_anti")
-    # the broadcast below assumes the eval side is benchmark-sized; a caller
-    # handing two corpora would get the documented degenerate regime
-    # SILENTLY (a driver-memory-sized broadcast and a quadratic-ish joined
-    # stream). Fail loudly toward the scale path instead — the count is one
-    # cheap action on the already-checkpointed distinct-gram frame.
-    if max_eval_grams is not None:
-        n_eval_grams = eg.count()
-        if n_eval_grams > max_eval_grams:
-            raise ValueError(
-                f"eval side has {n_eval_grams:,} distinct-text grams, above the "
-                f"broadcast-regime bound ({max_eval_grams:,}); this operator is "
-                "for benchmark-sized eval sets — use fingerprint_contamination "
-                "for corpus-vs-corpus decontamination, or raise max_eval_grams "
-                "explicitly if the eval side genuinely fits the driver"
-            )
     sizes = eg.groupBy("_ek").agg(F.count("*").alias("sz"))
     # eval benchmarks are broadcast-sized by definition: the big side's gram
     # rows stream through a map-side hash join + partial aggregation and

@@ -191,6 +191,7 @@ def grouped_sketch_states_parquet(
     value_col: str,
     factory: Callable[[], object],
     ingest: Callable[[object, pa.Array], None] = _packed_slice_ingest,
+    gtype: str | None = None,
 ) -> DataFrame:
     """:func:`grouped_sketch_states` over a parquet path via the
     COLUMNAR-DIRECT ingest (sources/parquet_direct.py): each task reads its
@@ -203,7 +204,8 @@ def grouped_sketch_states_parquet(
     source module."""
     from ..sources.parquet_direct import map_parquet_batches, spark_type_of
 
-    gtype = spark_type_of(path, group_col)
+    if gtype is None:
+        gtype = spark_type_of(path, group_col)
     partials = _state_fold(group_col, value_col, factory, ingest, drop_null_keys=True)
     states = map_parquet_batches(
         spark, path, [group_col, value_col], partials,
@@ -371,7 +373,7 @@ def grouped_quantiles_parquet(
     gtype = spark_type_of(path, group_col)
     states = grouped_sketch_states_parquet(
         spark, path, group_col, value_col, lambda: KllSketch(k),
-        ingest=numeric_slice_ingest,
+        ingest=numeric_slice_ingest, gtype=gtype,
     )
     return _quantiles_readout(states, group_col, gtype, qs, q_names)
 

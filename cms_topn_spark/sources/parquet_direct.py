@@ -49,7 +49,8 @@ def parquet_files(path: str) -> list[str]:
 
 
 def spark_type_of(path: str, column: str) -> str:
-    """Spark SQL type string of a parquet column (footer metadata only)."""
+    """Spark SQL type string of a parquet column (one footer read; callers
+    that need it for several schemas should read it once and pass it down)."""
     import pyarrow.parquet as pq
 
     field = pq.read_schema(parquet_files(path)[0]).field(column)
@@ -88,8 +89,14 @@ def map_parquet_batches(
     files = parquet_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path!r}")
-    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
-        len(files)
+    # exactly one file per partition: parallelize's deterministic list
+    # slicing, NOT .repartition(n) — round-robin starts at a random offset
+    # per input partition, so files can collide into one task and leave
+    # others empty (a straggler wave). This is the module's one RDD touch,
+    # on an n-row list of paths.
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize([(f,) for f in files], len(files)),
+        "path string",
     )
 
     def read_and_fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
