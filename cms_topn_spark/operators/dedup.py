@@ -910,17 +910,21 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     df = _spread(df)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for rb in batches:
-            pdf = rb.to_pandas()
-            if len(pdf) == 0:
-                continue
-            sigs = _simhash_kernel(pdf[text_col])
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "doc_id": pa.array(pdf[id_col].to_numpy(), pa.int64()),
-                    "simhash": pa.array(sigs, pa.int64()),
-                }
-            )
+        # per-chunk kernel calls: the bit-vote stage allocates (8, n_grams)
+        # int32 temps — whole 65k-doc batches would stream ~800 MB per pass
+        # (the minhash L3-thrash story); ≤512-doc chunks keep it ~6 MB
+        for whole in batches:
+            for rb in _doc_chunks(whole):
+                pdf = rb.to_pandas()
+                if len(pdf) == 0:
+                    continue
+                sigs = _simhash_kernel(pdf[text_col])
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "doc_id": pa.array(pdf[id_col].to_numpy(), pa.int64()),
+                        "simhash": pa.array(sigs, pa.int64()),
+                    }
+                )
 
     return df.select(id_col, text_col).mapInArrow(fn, "doc_id long, simhash long")
 

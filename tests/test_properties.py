@@ -276,3 +276,48 @@ def test_conservative_segmented_scatter_equals_maximum_at(vals):
     for i in range(ref.depth):
         np.maximum.at(ref.counters[i], cols[i], newval)
     assert np.array_equal(s.counters, ref.counters)
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.binary(min_size=0, max_size=48), min_size=1, max_size=60),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_murmur_equal_length_fast_path_bit_identical(items, seed):
+    """The fixed-width fast path (strided copy / (n,L) gather instead of the
+    per-byte scatter) must be bit-identical to hashing each item alone —
+    exercised at ≥250 examples per the round-4 kernel-change rule. Covers
+    both fast-path branches (contiguous offsets and gathered offsets with
+    inter-item gaps) and the generic variable-length path."""
+    import numpy as np
+
+    from cms_topn_spark.core.murmur import hash128, hash128_one
+
+    # force all items to one length (the fast path trigger), keep originals
+    # for the generic-path comparison below
+    L = len(items[0])
+    eq = [it.ljust(L, b"\x01")[:L] for it in items]
+    want = [hash128_one(it, seed) for it in eq]
+
+    # branch 1: contiguous back-to-back payloads
+    data = b"".join(eq)
+    n = len(eq)
+    offs = np.arange(n, dtype=np.int64) * L
+    lens = np.full(n, L, dtype=np.int64)
+    h1, h2 = hash128(data, offs, lens, seed)
+    assert [(int(a), int(b)) for a, b in zip(h1, h2)] == want
+
+    # branch 2: same items with 3 junk bytes between payloads (offset gather)
+    data2 = b"\xee" * 3 + (b"\xee" * 3).join(eq) + b"\xee" * 3
+    offs2 = 3 + np.arange(n, dtype=np.int64) * (L + 3)
+    g1, g2 = hash128(data2, offs2, lens, seed)
+    assert np.array_equal(g1, h1) and np.array_equal(g2, h2)
+
+    # generic path: the original (possibly mixed-length) items agree with
+    # per-item hashing too
+    datao = b"".join(items)
+    lenso = np.array([len(it) for it in items], dtype=np.int64)
+    offso = np.concatenate(([0], np.cumsum(lenso)[:-1]))
+    o1, o2 = hash128(datao, offso, lenso, seed)
+    wanto = [hash128_one(it, seed) for it in items]
+    assert [(int(a), int(b)) for a, b in zip(o1, o2)] == wanto
