@@ -624,6 +624,24 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_profile_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-scan composite profile through the COLUMNAR-DIRECT ingest
+    (plans/profile.py corpus_profile_parquet → build.sketch_agg_parquet):
+    one partial CMS+HLL+KLL composite state per parquet file, pyarrow-pruned
+    to the text column, no JVM row pivot — the GLOBAL-build analogue of
+    grouped_kll_quantiles_direct, showing the direct path generalizes to
+    the flagship north-star shape. Same composite fold, same merge, same
+    multi-subquery oracle as corpus_profile."""
+    from cms_topn_spark.plans.profile import corpus_profile_parquet
+
+    p = corpus_profile_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    return spark.createDataFrame(
+        [tuple(p.values())],
+        "distinct_texts long, total_tokens long, top_token string, "
+        "top_token_freq long, len_q25 double, len_q50 double, len_q75 double",
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (operators/textops.py chunk_documents): every
     document split into overlapping 32-token windows at stride 16 — the
@@ -965,6 +983,7 @@ _ORDER: dict[str, str] = {
     "fingerprint_decontamination": "eval_id",
     "doc_chunks": "doc_id, chunk_id",
     "corpus_profile": "distinct_texts",
+    "corpus_profile_direct": "distinct_texts",
     "jaccard_pairs": "a_id, b_id",
     "jaccard_pairs_pruned": "a_id, b_id",
     "minhash_lsh_pairs": "a_id, b_id",
@@ -1066,6 +1085,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_decontamination": q_fingerprint_decontamination,
         "doc_chunks": q_doc_chunks,
         "corpus_profile": q_corpus_profile,
+        "corpus_profile_direct": q_corpus_profile_direct,
         "jaccard_pairs": q_jaccard_pairs,
         "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1245,6 +1265,25 @@ def _raw_oracle_sql() -> dict[str, str]:
             "documents", chunk_tokens=32, stride=16
         ),
         "corpus_profile": """
+            WITH tok AS (
+              SELECT unnest(string_split(text, ' ')) AS t FROM documents
+            ),
+            tc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            top1 AS (SELECT t, c FROM tc ORDER BY c DESC, t LIMIT 1),
+            lens AS (
+              SELECT len(string_split(text, ' '))::DOUBLE AS n FROM documents
+            )
+            SELECT
+              (SELECT count(DISTINCT text) FROM documents)::BIGINT AS distinct_texts,
+              (SELECT count(*) FROM tok)::BIGINT AS total_tokens,
+              (SELECT t FROM top1) AS top_token,
+              (SELECT c FROM top1)::BIGINT AS top_token_freq,
+              (SELECT quantile_cont(n, 0.25) FROM lens) AS len_q25,
+              (SELECT quantile_cont(n, 0.5) FROM lens) AS len_q50,
+              (SELECT quantile_cont(n, 0.75) FROM lens) AS len_q75
+        """,
+        # identical statistics through the columnar-direct ingest
+        "corpus_profile_direct": """
             WITH tok AS (
               SELECT unnest(string_split(text, ' ')) AS t FROM documents
             ),

@@ -159,18 +159,12 @@ def invalidate_num_partitions_cache(df: DataFrame | None = None) -> None:
     _NPARTS_CACHE.pop(key, None)
 
 
-def build_partials(
-    df: DataFrame,
+def _partials_fold(
     factory: Callable[[], object],
-    ingest: Callable[[object, pa.RecordBatch], None] = default_ingest,
-    salt_partitions: int | None = None,
-) -> DataFrame:
-    """One serialized partial sketch per partition of ``df``.
-
-    ``df`` should already be projected to exactly the columns ``ingest``
-    consumes (column pruning then reaches the parquet scan)."""
-    if salt_partitions:
-        df = df.repartition(salt_partitions)  # round-robin = salt
+    ingest: Callable[[object, pa.RecordBatch], None],
+) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
+    """The one-state-per-task fold as a batches→batches kernel, shared by
+    the DataFrame path and the columnar-direct parquet path."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         t0 = time.monotonic()
@@ -191,7 +185,42 @@ def build_partials(
             schema=_PA_STATE_SCHEMA,
         )
 
-    return df.mapInArrow(fn, STATE_SCHEMA)
+    return fn
+
+
+def build_partials(
+    df: DataFrame,
+    factory: Callable[[], object],
+    ingest: Callable[[object, pa.RecordBatch], None] = default_ingest,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """One serialized partial sketch per partition of ``df``.
+
+    ``df`` should already be projected to exactly the columns ``ingest``
+    consumes (column pruning then reaches the parquet scan)."""
+    if salt_partitions:
+        df = df.repartition(salt_partitions)  # round-robin = salt
+    return df.mapInArrow(_partials_fold(factory, ingest), STATE_SCHEMA)
+
+
+def build_partials_parquet(
+    spark,
+    path: str,
+    columns: list[str],
+    factory: Callable[[], object],
+    ingest: Callable[[object, pa.RecordBatch], None] = default_ingest,
+) -> DataFrame:
+    """:func:`build_partials` over a parquet path via the COLUMNAR-DIRECT
+    ingest (sources/parquet_direct.py): one task per file, pyarrow reads the
+    pruned columns in the worker, and the batches never cross Spark's
+    columnar→row→Arrow pivot — the transfer whose JVM CPU anti-scales with
+    task threads (measured in BENCH/BASELINE.md §2b). Same states frame,
+    same merge machinery."""
+    from ..sources.parquet_direct import map_parquet_batches
+
+    return map_parquet_batches(
+        spark, path, columns, _partials_fold(factory, ingest), STATE_SCHEMA
+    )
 
 
 def _merge_group(pdf):
@@ -263,6 +292,30 @@ def sketch_agg(
     n_parts = (
         plan_num_partitions(df) if salt_partitions is None else salt_partitions
     )
+    return _collect_states(states, n_parts, fanin, direct_collect_limit)
+
+
+def sketch_agg_parquet(
+    spark,
+    path: str,
+    columns: list[str],
+    factory: Callable[[], object],
+    ingest: Callable[[object, pa.RecordBatch], None] = default_ingest,
+    fanin: int = 16,
+    direct_collect_limit: int = 64,
+):
+    """:func:`sketch_agg` over a parquet path via the columnar-direct ingest
+    (one partial per FILE; see :func:`build_partials_parquet`). The merge
+    strategy decision reuses the file count — no partition probe needed."""
+    from ..sources.parquet_direct import parquet_files
+
+    states = build_partials_parquet(spark, path, columns, factory, ingest)
+    return _collect_states(
+        states, len(parquet_files(path)), fanin, direct_collect_limit
+    )
+
+
+def _collect_states(states: DataFrame, n_parts: int, fanin: int, direct_collect_limit: int):
     merged_df = None
     if n_parts > direct_collect_limit:
         states = merged_df = tree_merge_df(states, fanin)

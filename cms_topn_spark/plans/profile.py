@@ -91,6 +91,22 @@ def corpus_profile(docs, text_col: str = "text") -> dict:
     ``n_tokens``. Corpora that may tie wider should raise ``n_tokens`` in
     :func:`profile_factory` above the expected tie width."""
     sk = sketch_agg(docs.select(text_col), profile_factory(), profile_ingest)
+    return _profile_readout(sk)
+
+
+def corpus_profile_parquet(spark, path: str, text_col: str = "text") -> dict:
+    """:func:`corpus_profile` over a parquet path via the columnar-direct
+    ingest (operators/build.py sketch_agg_parquet): one partial composite
+    state per file, pyarrow-pruned to the text column, no JVM row pivot —
+    the global-build analogue of grouped_quantiles_parquet, with the same
+    readout and the same oracle (gated as ``corpus_profile_direct``)."""
+    from ..operators.build import sketch_agg_parquet
+
+    sk = sketch_agg_parquet(spark, path, [text_col], profile_factory(), profile_ingest)
+    return _profile_readout(sk)
+
+
+def _profile_readout(sk) -> dict:
     if sk is None:
         return {
             "distinct_texts": 0,

@@ -447,3 +447,30 @@ def test_rare_token_probe_regex_delimiter_matches_spark_split(spark):
             n, nr = want.get(r["doc_id"], (0, 0))
             want[r["doc_id"]] = (n + 1, nr + (1 if freq[r["tok"]] < 2 else 0))
         assert got == want
+
+
+def test_sketch_agg_parquet_matches_dataframe_form(spark, sf001_dir):
+    """The columnar-direct global build (one partial per file, no JVM row
+    pivot) merges to byte-identical sketches vs the DataFrame form, for both
+    a CMS build and the composite corpus profile."""
+    import os
+
+    from cms_topn_spark.core import CmsTopn
+    from cms_topn_spark.operators.build import sketch_agg, sketch_agg_parquet
+    from cms_topn_spark.plans.profile import corpus_profile, corpus_profile_parquet
+
+    path = os.path.join(sf001_dir, "events.parquet")
+    a = sketch_agg(
+        spark.read.parquet(path).select("event_type"),
+        lambda: CmsTopn(5, 0.0001, 0.99, update="linear"),
+    )
+    b = sketch_agg_parquet(
+        spark, path, ["event_type"],
+        lambda: CmsTopn(5, 0.0001, 0.99, update="linear"),
+    )
+    assert a.to_bytes() == b.to_bytes()
+
+    dpath = os.path.join(sf001_dir, "documents.parquet")
+    pa_ = corpus_profile(spark.read.parquet(dpath))
+    pb = corpus_profile_parquet(spark, dpath)
+    assert pa_ == pb
