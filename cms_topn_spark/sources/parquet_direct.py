@@ -26,6 +26,14 @@ stated plainly: this bypasses Catalyst's scan node, so SQL predicate
 pushdown and partition pruning don't apply — use it for full-column sketch
 ingests, not filtered point queries; and a single giant file is one task
 (split by row-group if that ever binds).
+
+When NOT to use it (measured, BENCH/BASELINE.md §2b): jobs whose kernel
+dwarfs the transfer and whose columns are wide strings — Spark's vectorized
+JVM parquet reader decodes string columns faster than single-threaded
+pyarrow in the worker, and the pivot share is small when the kernel
+dominates (flagship 9M-doc build: 49 s DataFrame vs 91 s direct at
+local[2]). The direct path wins where transfer dominates: narrow/numeric
+columns feeding cheap folds (grouped quantiles 15.6 s → 9.1 s there).
 """
 
 from __future__ import annotations
