@@ -617,11 +617,7 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cms_topn_spark.plans.profile import corpus_profile
 
     p = corpus_profile(_t(spark, sf_dir, "documents"))
-    return spark.createDataFrame(
-        [tuple(p.values())],
-        "distinct_texts long, total_tokens long, top_token string, "
-        "top_token_freq long, len_q25 double, len_q50 double, len_q75 double",
-    )
+    return _profile_df(spark, p)
 
 
 def q_corpus_profile_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,6 +631,12 @@ def q_corpus_profile_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cms_topn_spark.plans.profile import corpus_profile_parquet
 
     p = corpus_profile_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    return _profile_df(spark, p)
+
+
+def _profile_df(spark: SparkSession, p: dict) -> DataFrame:
+    """One row per profile dict — shared by both corpus_profile entries so
+    the schema string and the dict→tuple conversion live in one place."""
     return spark.createDataFrame(
         [tuple(p.values())],
         "distinct_texts long, total_tokens long, top_token string, "
@@ -1013,11 +1015,14 @@ def _order_cols(spec: str) -> list:
 
 def _ordered(name: str, fn: Callable) -> Callable:
     spec = _ORDER.get(name)
-    if spec is None:
-        return fn
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return fn(spark, sf_dir).orderBy(*_order_cols(spec))
+        # every query (not just the _t table readers) must be runnable from
+        # an externally-created session: the direct-ingest and synthetic-
+        # input entries never call _t, so hoist the py-files shipping here
+        _ensure_workers_can_import(spark)
+        df = fn(spark, sf_dir)
+        return df if spec is None else df.orderBy(*_order_cols(spec))
 
     wrapped.__name__ = getattr(fn, "__name__", name)
     wrapped.__doc__ = fn.__doc__
@@ -1108,7 +1113,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _raw_oracle_sql() -> dict[str, str]:
     jaccard = dedup.jaccard_pairs_sql("documents", 0.8)
-    return {
+    sql = {
         "cms_topn_event_types": """
             SELECT event_type AS item, count(*)::BIGINT AS frequency
             FROM events GROUP BY event_type ORDER BY frequency DESC LIMIT 5
@@ -1282,25 +1287,6 @@ def _raw_oracle_sql() -> dict[str, str]:
               (SELECT quantile_cont(n, 0.5) FROM lens) AS len_q50,
               (SELECT quantile_cont(n, 0.75) FROM lens) AS len_q75
         """,
-        # identical statistics through the columnar-direct ingest
-        "corpus_profile_direct": """
-            WITH tok AS (
-              SELECT unnest(string_split(text, ' ')) AS t FROM documents
-            ),
-            tc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
-            top1 AS (SELECT t, c FROM tc ORDER BY c DESC, t LIMIT 1),
-            lens AS (
-              SELECT len(string_split(text, ' '))::DOUBLE AS n FROM documents
-            )
-            SELECT
-              (SELECT count(DISTINCT text) FROM documents)::BIGINT AS distinct_texts,
-              (SELECT count(*) FROM tok)::BIGINT AS total_tokens,
-              (SELECT t FROM top1) AS top_token,
-              (SELECT c FROM top1)::BIGINT AS top_token_freq,
-              (SELECT quantile_cont(n, 0.25) FROM lens) AS len_q25,
-              (SELECT quantile_cont(n, 0.5) FROM lens) AS len_q50,
-              (SELECT quantile_cont(n, 0.75) FROM lens) AS len_q75
-        """,
         "fingerprint_decontamination": dedup.fingerprint_contamination_sql(
             "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0",
             "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
@@ -1361,6 +1347,10 @@ def _raw_oracle_sql() -> dict[str, str]:
         "curate_corpus": _pipeline_sql(),
         "stratified_sample": _stratified_sample_sql(),
     }
+    # the direct-ingest twin gates the SAME statistics — alias, don't copy,
+    # so the two oracles can never silently diverge
+    sql["corpus_profile_direct"] = sql["corpus_profile"]
+    return sql
 
 
 def _media_stats_sql() -> str:

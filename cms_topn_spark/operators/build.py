@@ -209,6 +209,7 @@ def build_partials_parquet(
     columns: list[str],
     factory: Callable[[], object],
     ingest: Callable[[object, pa.RecordBatch], None] = default_ingest,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """:func:`build_partials` over a parquet path via the COLUMNAR-DIRECT
     ingest (sources/parquet_direct.py): one task per file, pyarrow reads the
@@ -219,7 +220,8 @@ def build_partials_parquet(
     from ..sources.parquet_direct import map_parquet_batches
 
     return map_parquet_batches(
-        spark, path, columns, _partials_fold(factory, ingest), STATE_SCHEMA
+        spark, path, columns, _partials_fold(factory, ingest), STATE_SCHEMA,
+        files=files,
     )
 
 
@@ -305,14 +307,14 @@ def sketch_agg_parquet(
     direct_collect_limit: int = 64,
 ):
     """:func:`sketch_agg` over a parquet path via the columnar-direct ingest
-    (one partial per FILE; see :func:`build_partials_parquet`). The merge
-    strategy decision reuses the file count — no partition probe needed."""
+    (one partial per FILE; see :func:`build_partials_parquet`). The
+    directory is listed ONCE; the same list sizes the merge strategy and
+    feeds the task mapping."""
     from ..sources.parquet_direct import parquet_files
 
-    states = build_partials_parquet(spark, path, columns, factory, ingest)
-    return _collect_states(
-        states, len(parquet_files(path)), fanin, direct_collect_limit
-    )
+    files = parquet_files(path)
+    states = build_partials_parquet(spark, path, columns, factory, ingest, files=files)
+    return _collect_states(states, len(files), fanin, direct_collect_limit)
 
 
 def _collect_states(states: DataFrame, n_parts: int, fanin: int, direct_collect_limit: int):

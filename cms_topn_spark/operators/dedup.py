@@ -915,9 +915,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         # (the minhash L3-thrash story); ≤512-doc chunks keep it ~6 MB
         for whole in batches:
             for rb in _doc_chunks(whole):
-                pdf = rb.to_pandas()
-                if len(pdf) == 0:
-                    continue
+                pdf = rb.to_pandas()  # _doc_chunks never yields empty slices
                 sigs = _simhash_kernel(pdf[text_col])
                 yield pa.RecordBatch.from_pydict(
                     {

@@ -86,6 +86,7 @@ def map_parquet_batches(
     columns: list[str],
     fold: Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]],
     out_schema: str,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Run ``fold`` (a batches→batches kernel, same contract as a
     ``mapInArrow`` function) over ``columns`` of the parquet data at
@@ -93,8 +94,13 @@ def map_parquet_batches(
 
     ``use_threads=False`` on the pyarrow reader: each task is already one
     core's worth of work — per-task thread pools would oversubscribe the
-    executor and wreck the task-count = parallelism accounting."""
-    files = parquet_files(path)
+    executor and wreck the task-count = parallelism accounting.
+
+    ``files``: pre-resolved file list — callers that already listed the
+    directory (e.g. to size the merge strategy) pass it to avoid a second
+    listing and the TOCTOU window between two listings."""
+    if files is None:
+        files = parquet_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path!r}")
     # exactly one file per partition: parallelize's deterministic list

@@ -459,6 +459,8 @@ def test_sketch_agg_parquet_matches_dataframe_form(spark, sf001_dir):
     from cms_topn_spark.operators.build import sketch_agg, sketch_agg_parquet
     from cms_topn_spark.plans.profile import corpus_profile, corpus_profile_parquet
 
+    import numpy as np
+
     path = os.path.join(sf001_dir, "events.parquet")
     a = sketch_agg(
         spark.read.parquet(path).select("event_type"),
@@ -468,7 +470,12 @@ def test_sketch_agg_parquet_matches_dataframe_form(spark, sf001_dir):
         spark, path, ["event_type"],
         lambda: CmsTopn(5, 0.0001, 0.99, update="linear"),
     )
-    assert a.to_bytes() == b.to_bytes()
+    # canonical readout, NOT raw bytes: the serialized frame carries
+    # insertion-order seq tie-breakers that legitimately differ when the
+    # two paths split a multi-file input into different task orders
+    assert np.array_equal(a.counters, b.counters)
+    assert dict(a.topn_list()) == dict(b.topn_list())
+    assert a.total == b.total
 
     dpath = os.path.join(sf001_dir, "documents.parquet")
     pa_ = corpus_profile(spark.read.parquet(dpath))
