@@ -587,6 +587,26 @@ def q_grouped_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group heavy hitters in the map-side-combine scale form
+    (operators/grouped.py grouped_topn): top-3 user-id magnitude buckets per
+    event type. The item is the integer bucket floor(log2(user_id+2)),
+    computed as length(bin(x))-1 in BOTH engines (pure integer — no libm),
+    because bucket populations grow exponentially: every group's top-3
+    frequencies are separated by wide margins, so the retained set, its
+    order, and its counts are all deterministic — CMS top-n tie order is
+    insertion-sequence (merge-order dependent), which would otherwise make
+    a heavy-hitter gate over flat distributions flap. Collision-negligible
+    width ⇒ counts exact ⇒ the GROUP BY + row_number oracle applies."""
+    from cms_topn_spark.operators.grouped import grouped_topn
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.length(F.expr("bin(user_id + 2)")) - 1).cast("int").alias("bucket"),
+    )
+    return grouped_topn(ev, "event_type", "bucket", n=3, e=0.0001)
+
+
 def q_grouped_kll_quantiles_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME per-group quantiles through the COLUMNAR-DIRECT ingest
     (sources/parquet_direct.py + grouped_quantiles_parquet): each task reads
@@ -961,6 +981,7 @@ _ORDER: dict[str, str] = {
     "stream_keyed_topn": "key",
     "stream_windowed_topn": "window_start, frequency DESC, item",
     "stream_dedup": "digest",
+    "grouped_topn": "event_type, frequency DESC, item",
     "grouped_kll_quantiles": "user_id",
     "grouped_kll_quantiles_direct": "user_id",
     "grouped_user_days": "user_id",
@@ -1066,6 +1087,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_keyed_topn": q_stream_keyed_topn,
         "stream_windowed_topn": q_stream_windowed_topn,
         "stream_dedup": q_stream_dedup,
+        "grouped_topn": q_grouped_topn,
         "grouped_kll_quantiles": q_grouped_kll_quantiles,
         "grouped_kll_quantiles_direct": q_grouped_kll_quantiles_direct,
         "grouped_user_days": q_grouped_user_days,
@@ -1190,6 +1212,23 @@ def _raw_oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup": """
             SELECT DISTINCT md5(text) AS digest FROM documents
+        """,
+        "grouped_topn": """
+            WITH b AS (
+              SELECT event_type,
+                     (length(bin(user_id + 2)) - 1)::BIGINT AS item,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT event_type, item, c,
+                     row_number() OVER (
+                       PARTITION BY event_type ORDER BY c DESC, item
+                     ) AS rk
+              FROM b
+            )
+            SELECT event_type, item, c::BIGINT AS frequency
+            FROM r WHERE rk <= 3
         """,
         "grouped_kll_quantiles": """
             SELECT user_id,
