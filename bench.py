@@ -128,6 +128,51 @@ def _tree_cpu_seconds() -> float:
     return total
 
 
+# ---- CPU-work probe gate (round 5) ----------------------------------------
+# This box's co-tenant storms are often INVISIBLE to loadavg (r4/r5 logs:
+# identical numpy work varying 0.07 s ... 0.8 s at loadavg ~1), so the
+# loadavg ambient gate cannot see them. The probe runs a fixed ~70 ms
+# numpy kernel and compares against the measured genuinely-quiet wall —
+# a direct, outcome-independent contention sensor. Used as a bounded wait
+# immediately before timed reps; the reactive CPU-ref rep flagging stays.
+PROBE_QUIET_REF = float(os.environ.get("SPARK_GRAFT_PROBE_REF", "0.07"))
+PROBE_STORM_RATIO = 2.0
+
+
+def cpu_probe() -> float:
+    """Fixed CPU+memory micro-kernel (~70 ms on the quiet box); returns its
+    wall time. Deterministic input — no RNG."""
+    import numpy as np
+
+    x = (np.arange(2_000_000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    t0 = time.monotonic()
+    acc = 0  # python int: the wrapping uint64 sum would warn on overflow
+    for _ in range(20):
+        y = (x * np.uint64(0xBF58476D1CE4E5B9)) >> np.uint64(3)
+        acc += int(y[::97].sum())
+    return time.monotonic() - t0
+
+
+def wait_for_probe_quiet(timeout: float = 30.0, streak_needed: int = 2) -> float:
+    """Bounded wait for ``streak_needed`` consecutive quiet probes (wall <=
+    PROBE_STORM_RATIO x the quiet reference). Returns the last probe wall —
+    recorded per rep so every number carries its measured contention, not
+    just its loadavg."""
+    t0 = time.monotonic()
+    streak = 0
+    p = cpu_probe()
+    while time.monotonic() - t0 < timeout:
+        if p <= PROBE_STORM_RATIO * PROBE_QUIET_REF:
+            streak += 1
+            if streak >= streak_needed:
+                return round(p, 3)
+        else:
+            streak = 0
+        time.sleep(3)
+        p = cpu_probe()
+    return round(p, 3)
+
+
 def wait_for_ambient_quiet(threshold: float = AMBIENT_GATE, timeout: float = AMBIENT_WAIT_MAX) -> float:
     """If EXTERNAL load is high before we start, wait (bounded) for a quiet
     window. Called before any of our own Spark sessions run, so the reading
@@ -173,6 +218,8 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     # the values, so it introduces no optional-stopping bias
     out: dict[str, float] = {}
     for p in range(HEADLINE_PASSES):
+        probe = wait_for_probe_quiet(timeout=30)
+        log(f"  pass{p} start probe {probe}s (quiet ref {PROBE_QUIET_REF})")
         for name in HEADLINE:
             t0 = time.monotonic()
             df = qs[name](spark, sf_dir)
@@ -235,8 +282,14 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
     loads = []
     section_t0 = time.monotonic()
 
+    probes = []
+
     def run_pair(rep: int) -> None:
         for cpus in levels:
+            # bounded CPU-probe wait: don't START a timed rep inside a
+            # contention burst loadavg can't see (the reactive CPU-ref
+            # flagging below still catches storms that land mid-rep)
+            probes.append(wait_for_probe_quiet(timeout=30))
             spark = get_spark(
                 f"bench-scaling-{cpus}",
                 cpus=cpus,
@@ -354,6 +407,7 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
     # engine did the same work and any wall gap is contention, not the plan
     res["cpu_parity"] = round(best_cpu[hi] / best_cpu[lo], 3) if best_cpu[lo] else None
     res["loadavg_per_rep"] = loads
+    res["probe_per_rep"] = probes  # measured contention sensor (see cpu_probe)
     for c in levels:
         log(
             f"  local[{c}]: best {res[c]['wall_sec']}s / median "
@@ -452,8 +506,10 @@ def run_query_scaling(levels=SCALING_LEVELS, reps: int = QSCALING_REPS) -> dict:
         cpus_used = {q: {c: [] for c in levels} for q in names}
         loads = []
         t_section = time.monotonic()
+        probes = []
         for rep in range(reps):
             for cpus in levels:
+                probes.append(wait_for_probe_quiet(timeout=30))
                 spark = get_spark(
                     f"bench-qscale-{cpus}",
                     cpus=cpus,
@@ -506,6 +562,7 @@ def run_query_scaling(levels=SCALING_LEVELS, reps: int = QSCALING_REPS) -> dict:
             "docs": {"minhash_lsh_pairs": QSCALING_MINHASH_DOCS,
                      "grouped_kll_quantiles_direct": QSCALING_KLL_ROWS},
             "loadavg_per_run": loads,
+            "probe_per_session": probes,
         }
         for name in names:
             best = {c: min(walls[name][c]) for c in levels}
