@@ -688,6 +688,8 @@ def main() -> None:
                     # (BENCH/BASELINE.md §2)
                     "loadavg_1m": loadavg_pre,
                     "loadavg_per_rep": scaling_28["loadavg_per_rep"],
+                    # measured contention sensor before each rep (cpu_probe)
+                    "probe_per_rep": scaling_28.get("probe_per_rep"),
         }
     )
     print(
