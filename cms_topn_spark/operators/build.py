@@ -210,6 +210,7 @@ def build_partials_parquet(
     factory: Callable[[], object],
     ingest: Callable[[object, pa.RecordBatch], None] = default_ingest,
     files: list[str] | None = None,
+    split_row_groups: bool = False,
 ) -> DataFrame:
     """:func:`build_partials` over a parquet path via the COLUMNAR-DIRECT
     ingest (sources/parquet_direct.py): one task per file, pyarrow reads the
@@ -221,7 +222,7 @@ def build_partials_parquet(
 
     return map_parquet_batches(
         spark, path, columns, _partials_fold(factory, ingest), STATE_SCHEMA,
-        files=files,
+        files=files, split_row_groups=split_row_groups,
     )
 
 
@@ -305,16 +306,26 @@ def sketch_agg_parquet(
     ingest: Callable[[object, pa.RecordBatch], None] = default_ingest,
     fanin: int = 16,
     direct_collect_limit: int = 64,
+    split_row_groups: bool = False,
 ):
     """:func:`sketch_agg` over a parquet path via the columnar-direct ingest
-    (one partial per FILE; see :func:`build_partials_parquet`). The
-    directory is listed ONCE; the same list sizes the merge strategy and
-    feeds the task mapping."""
-    from ..sources.parquet_direct import parquet_files
+    (one partial per FILE, or per row-group with ``split_row_groups`` — the
+    giant-file remedy; see :func:`build_partials_parquet`). The directory is
+    listed ONCE; the same list sizes the merge strategy and feeds the task
+    mapping."""
+    from ..sources.parquet_direct import n_splits, parquet_files
 
     files = parquet_files(path)
-    states = build_partials_parquet(spark, path, columns, factory, ingest, files=files)
-    return _collect_states(states, len(files), fanin, direct_collect_limit)
+    states = build_partials_parquet(
+        spark, path, columns, factory, ingest, files=files,
+        split_row_groups=split_row_groups,
+    )
+    return _collect_states(
+        states,
+        n_splits(path, files=files, split_row_groups=split_row_groups),
+        fanin,
+        direct_collect_limit,
+    )
 
 
 def _collect_states(states: DataFrame, n_parts: int, fanin: int, direct_collect_limit: int):

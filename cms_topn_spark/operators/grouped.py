@@ -192,6 +192,7 @@ def grouped_sketch_states_parquet(
     factory: Callable[[], object],
     ingest: Callable[[object, pa.Array], None] = _packed_slice_ingest,
     gtype: str | None = None,
+    split_row_groups: bool = False,
 ) -> DataFrame:
     """:func:`grouped_sketch_states` over a parquet path via the
     COLUMNAR-DIRECT ingest (sources/parquet_direct.py): each task reads its
@@ -210,6 +211,7 @@ def grouped_sketch_states_parquet(
     states = map_parquet_batches(
         spark, path, [group_col, value_col], partials,
         f"{group_col} {gtype}, state binary",
+        split_row_groups=split_row_groups,
     )
     return _merge_states(states, group_col, gtype)
 

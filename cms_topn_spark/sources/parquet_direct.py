@@ -25,7 +25,8 @@ the same unit a 100-TB Iceberg table's manifest hands out. Trade-offs,
 stated plainly: this bypasses Catalyst's scan node, so SQL predicate
 pushdown and partition pruning don't apply — use it for full-column sketch
 ingests, not filtered point queries; and a single giant file is one task
-(split by row-group if that ever binds).
+unless ``split_row_groups=True``, which hands out one task per (file,
+row-group) — the same split unit Spark's own scan uses.
 
 When NOT to use it (measured, BENCH/BASELINE.md §2b): jobs whose kernel
 dwarfs the transfer and whose columns are wide strings — Spark's vectorized
@@ -87,6 +88,7 @@ def map_parquet_batches(
     fold: Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]],
     out_schema: str,
     files: list[str] | None = None,
+    split_row_groups: bool = False,
 ) -> DataFrame:
     """Run ``fold`` (a batches→batches kernel, same contract as a
     ``mapInArrow`` function) over ``columns`` of the parquet data at
@@ -98,30 +100,63 @@ def map_parquet_batches(
 
     ``files``: pre-resolved file list — callers that already listed the
     directory (e.g. to size the merge strategy) pass it to avoid a second
-    listing and the TOCTOU window between two listings."""
+    listing and the TOCTOU window between two listings.
+
+    ``split_row_groups``: one task per (file, row-group) instead of per
+    file — the remedy when a few giant files would otherwise serialize the
+    scan (a parquet row group is the file's independently-readable unit,
+    exactly what Spark's own scan splits on). Costs one footer read per
+    file on the driver; a real lakehouse hands out the same splits from
+    the table manifest without touching footers."""
     if files is None:
         files = parquet_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path!r}")
-    # exactly one file per partition: parallelize's deterministic list
+    if split_row_groups:
+        import pyarrow.parquet as pq
+
+        splits = [
+            (f, rg)
+            for f in files
+            for rg in range(pq.read_metadata(f).num_row_groups)
+        ]
+    else:
+        splits = [(f, -1) for f in files]  # -1 = whole file
+    # exactly one split per partition: parallelize's deterministic list
     # slicing, NOT .repartition(n) — round-robin starts at a random offset
-    # per input partition, so files can collide into one task and leave
+    # per input partition, so splits can collide into one task and leave
     # others empty (a straggler wave). This is the module's one RDD touch,
-    # on an n-row list of paths.
+    # on an n-row list of (path, row_group).
     fdf = spark.createDataFrame(
-        spark.sparkContext.parallelize([(f,) for f in files], len(files)),
-        "path string",
+        spark.sparkContext.parallelize(splits, len(splits)),
+        "path string, row_group int",
     )
 
     def read_and_fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
-        def file_batches() -> Iterator[pa.RecordBatch]:
+        def split_batches() -> Iterator[pa.RecordBatch]:
             for rb in batches:
-                for p in rb.column(0).to_pylist():
+                rgs = rb.column(1).to_pylist()
+                for p, rg in zip(rb.column(0).to_pylist(), rgs):
                     pf = pq.ParquetFile(p)
-                    yield from pf.iter_batches(columns=columns, use_threads=False)
+                    kw = {} if rg < 0 else {"row_groups": [rg]}
+                    yield from pf.iter_batches(
+                        columns=columns, use_threads=False, **kw
+                    )
 
-        yield from fold(file_batches())
+        yield from fold(split_batches())
 
     return fdf.mapInArrow(read_and_fold, out_schema)
+
+
+def n_splits(path: str, files: list[str] | None = None, split_row_groups: bool = False) -> int:
+    """Task count :func:`map_parquet_batches` will use — for callers sizing
+    a merge strategy."""
+    import pyarrow.parquet as pq
+
+    if files is None:
+        files = parquet_files(path)
+    if not split_row_groups:
+        return len(files)
+    return sum(pq.read_metadata(f).num_row_groups for f in files)

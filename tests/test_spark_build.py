@@ -481,3 +481,34 @@ def test_sketch_agg_parquet_matches_dataframe_form(spark, sf001_dir):
     pa_ = corpus_profile(spark.read.parquet(dpath))
     pb = corpus_profile_parquet(spark, dpath)
     assert pa_ == pb
+
+
+def test_parquet_direct_row_group_splits(spark, tmp_path):
+    """split_row_groups hands out one task per (file, row-group) — the
+    giant-file remedy — and produces the same merged sketch as whole-file
+    reads (canonical readout)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cms_topn_spark.core import CmsTopn
+    from cms_topn_spark.operators.build import sketch_agg_parquet
+    from cms_topn_spark.sources.parquet_direct import n_splits
+
+    # one "giant" file with 5 row groups of 1000 rows each
+    p = str(tmp_path / "big.parquet")
+    tbl = pa.table({"k": pa.array([f"item{i % 7}" for i in range(5000)])})
+    pq.write_table(tbl, p, row_group_size=1000)
+    assert n_splits(p) == 1
+    assert n_splits(p, split_row_groups=True) == 5
+
+    a = sketch_agg_parquet(
+        spark, p, ["k"], lambda: CmsTopn(5, 0.0001, 0.99, update="linear")
+    )
+    b = sketch_agg_parquet(
+        spark, p, ["k"], lambda: CmsTopn(5, 0.0001, 0.99, update="linear"),
+        split_row_groups=True,
+    )
+    assert np.array_equal(a.counters, b.counters)
+    assert dict(a.topn_list()) == dict(b.topn_list())
+    assert a.total == b.total == 5000
