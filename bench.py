@@ -155,22 +155,30 @@ def cpu_probe() -> float:
 
 def wait_for_probe_quiet(timeout: float = 30.0, streak_needed: int = 2) -> float:
     """Bounded wait for ``streak_needed`` consecutive quiet probes (wall <=
-    PROBE_STORM_RATIO x the quiet reference). Returns the last probe wall —
-    recorded per rep so every number carries its measured contention, not
-    just its loadavg."""
+    PROBE_STORM_RATIO x the quiet reference). On success returns the last
+    (quiet) probe wall; on TIMEOUT returns the WORST probe of the final
+    window — a single lucky probe at the deadline must not make a stormy
+    handoff look quiet in the recorded telemetry. Quiet probes confirm
+    back-to-back (~0.2 s apart) so the gate costs ~0.35 s on a quiet box;
+    only stormy probes wait the full 3 s before retrying."""
     t0 = time.monotonic()
     streak = 0
-    p = cpu_probe()
-    while time.monotonic() - t0 < timeout:
+    recent: list[float] = []
+    while True:
+        p = cpu_probe()
+        recent = (recent + [p])[-streak_needed:]
         if p <= PROBE_STORM_RATIO * PROBE_QUIET_REF:
             streak += 1
             if streak >= streak_needed:
                 return round(p, 3)
+            time.sleep(0.2)  # quick confirm — don't tax the quiet box
         else:
             streak = 0
-        time.sleep(3)
-        p = cpu_probe()
-    return round(p, 3)
+            if time.monotonic() - t0 >= timeout:
+                return round(max(recent), 3)
+            time.sleep(3)
+        if time.monotonic() - t0 >= timeout:
+            return round(max(recent), 3)
 
 
 def wait_for_ambient_quiet(threshold: float = AMBIENT_GATE, timeout: float = AMBIENT_WAIT_MAX) -> float:

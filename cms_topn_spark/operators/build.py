@@ -211,6 +211,7 @@ def build_partials_parquet(
     ingest: Callable[[object, pa.RecordBatch], None] = default_ingest,
     files: list[str] | None = None,
     split_row_groups: bool = False,
+    splits: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """:func:`build_partials` over a parquet path via the COLUMNAR-DIRECT
     ingest (sources/parquet_direct.py): one task per file, pyarrow reads the
@@ -222,7 +223,7 @@ def build_partials_parquet(
 
     return map_parquet_batches(
         spark, path, columns, _partials_fold(factory, ingest), STATE_SCHEMA,
-        files=files, split_row_groups=split_row_groups,
+        files=files, split_row_groups=split_row_groups, splits=splits,
     )
 
 
@@ -310,22 +311,16 @@ def sketch_agg_parquet(
 ):
     """:func:`sketch_agg` over a parquet path via the columnar-direct ingest
     (one partial per FILE, or per row-group with ``split_row_groups`` — the
-    giant-file remedy; see :func:`build_partials_parquet`). The directory is
-    listed ONCE; the same list sizes the merge strategy and feeds the task
-    mapping."""
-    from ..sources.parquet_direct import n_splits, parquet_files
+    giant-file remedy; see :func:`build_partials_parquet`). The split list
+    is computed ONCE (one listing, one footer pass) and both sizes the merge
+    strategy and feeds the task mapping."""
+    from ..sources.parquet_direct import parquet_splits
 
-    files = parquet_files(path)
+    splits = parquet_splits(path, split_row_groups=split_row_groups)
     states = build_partials_parquet(
-        spark, path, columns, factory, ingest, files=files,
-        split_row_groups=split_row_groups,
+        spark, path, columns, factory, ingest, splits=splits
     )
-    return _collect_states(
-        states,
-        n_splits(path, files=files, split_row_groups=split_row_groups),
-        fanin,
-        direct_collect_limit,
-    )
+    return _collect_states(states, len(splits), fanin, direct_collect_limit)
 
 
 def _collect_states(states: DataFrame, n_parts: int, fanin: int, direct_collect_limit: int):

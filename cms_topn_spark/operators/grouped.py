@@ -360,13 +360,15 @@ def grouped_quantiles_parquet(
     qs: tuple = (0.25, 0.5, 0.75),
     q_names: tuple = ("q25", "q50", "q75"),
     k: int = 200,
+    split_row_groups: bool = False,
 ) -> DataFrame:
     """:func:`grouped_quantiles` over a parquet path via the columnar-direct
     ingest — identical semantics and oracle (same fold, same states-only
     exchange, same distributed readout); the scan feeds the Python kernel
     columnar-to-columnar instead of through Spark's row pivot, which is
     this operator's dominant cost and scaling cap on wide parallelism (see
-    :func:`grouped_sketch_states_parquet` for the measurements)."""
+    :func:`grouped_sketch_states_parquet` for the measurements).
+    ``split_row_groups`` is the giant-file remedy (one task per row group)."""
     from ..core.kll import KllSketch
     from ..sources.parquet_direct import spark_type_of
 
@@ -376,6 +378,7 @@ def grouped_quantiles_parquet(
     states = grouped_sketch_states_parquet(
         spark, path, group_col, value_col, lambda: KllSketch(k),
         ingest=numeric_slice_ingest, gtype=gtype,
+        split_row_groups=split_row_groups,
     )
     return _quantiles_readout(states, group_col, gtype, qs, q_names)
 

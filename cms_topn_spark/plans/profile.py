@@ -94,15 +94,21 @@ def corpus_profile(docs, text_col: str = "text") -> dict:
     return _profile_readout(sk)
 
 
-def corpus_profile_parquet(spark, path: str, text_col: str = "text") -> dict:
+def corpus_profile_parquet(
+    spark, path: str, text_col: str = "text", split_row_groups: bool = False
+) -> dict:
     """:func:`corpus_profile` over a parquet path via the columnar-direct
     ingest (operators/build.py sketch_agg_parquet): one partial composite
-    state per file, pyarrow-pruned to the text column, no JVM row pivot —
-    the global-build analogue of grouped_quantiles_parquet, with the same
-    readout and the same oracle (gated as ``corpus_profile_direct``)."""
+    state per file (or per row group — the giant-file remedy), pyarrow-pruned
+    to the text column, no JVM row pivot — the global-build analogue of
+    grouped_quantiles_parquet, with the same readout and the same oracle
+    (gated as ``corpus_profile_direct``)."""
     from ..operators.build import sketch_agg_parquet
 
-    sk = sketch_agg_parquet(spark, path, [text_col], profile_factory(), profile_ingest)
+    sk = sketch_agg_parquet(
+        spark, path, [text_col], profile_factory(), profile_ingest,
+        split_row_groups=split_row_groups,
+    )
     return _profile_readout(sk)
 
 

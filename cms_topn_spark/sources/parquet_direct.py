@@ -89,6 +89,7 @@ def map_parquet_batches(
     out_schema: str,
     files: list[str] | None = None,
     split_row_groups: bool = False,
+    splits: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Run ``fold`` (a batches→batches kernel, same contract as a
     ``mapInArrow`` function) over ``columns`` of the parquet data at
@@ -108,20 +109,8 @@ def map_parquet_batches(
     exactly what Spark's own scan splits on). Costs one footer read per
     file on the driver; a real lakehouse hands out the same splits from
     the table manifest without touching footers."""
-    if files is None:
-        files = parquet_files(path)
-    if not files:
-        raise FileNotFoundError(f"no parquet files under {path!r}")
-    if split_row_groups:
-        import pyarrow.parquet as pq
-
-        splits = [
-            (f, rg)
-            for f in files
-            for rg in range(pq.read_metadata(f).num_row_groups)
-        ]
-    else:
-        splits = [(f, -1) for f in files]  # -1 = whole file
+    if splits is None:
+        splits = parquet_splits(path, files=files, split_row_groups=split_row_groups)
     # exactly one split per partition: parallelize's deterministic list
     # slicing, NOT .repartition(n) — round-robin starts at a random offset
     # per input partition, so splits can collide into one task and leave
@@ -150,13 +139,26 @@ def map_parquet_batches(
     return fdf.mapInArrow(read_and_fold, out_schema)
 
 
-def n_splits(path: str, files: list[str] | None = None, split_row_groups: bool = False) -> int:
-    """Task count :func:`map_parquet_batches` will use — for callers sizing
-    a merge strategy."""
-    import pyarrow.parquet as pq
-
+def parquet_splits(
+    path: str, files: list[str] | None = None, split_row_groups: bool = False
+) -> list[tuple[str, int]]:
+    """The (file, row_group) task list — row_group = -1 means whole file.
+    Computed ONCE per job: callers sizing a merge strategy pass the same
+    list to :func:`map_parquet_batches`, so the footers are read a single
+    time and the strategy can never disagree with the task count."""
     if files is None:
         files = parquet_files(path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
     if not split_row_groups:
-        return len(files)
-    return sum(pq.read_metadata(f).num_row_groups for f in files)
+        return [(f, -1) for f in files]
+    import pyarrow.parquet as pq
+
+    splits = [
+        (f, rg) for f in files for rg in range(pq.read_metadata(f).num_row_groups)
+    ]
+    # footer-only files (empty datasets/partitions) have 0 row groups; fall
+    # back to whole-file tasks so the empty input yields the same
+    # empty-result semantics as split_row_groups=False instead of crashing
+    # parallelize([], 0)
+    return splits or [(f, -1) for f in files]

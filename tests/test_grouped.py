@@ -375,3 +375,24 @@ def test_parquet_direct_column_order_independent(spark, tmp_path):
         ).collect()
     )
     assert got == [(7, 2.0), (8, 5.0)]
+
+
+def test_grouped_topn_partitioning_invariant_on_margined_items(spark, sf001_dir):
+    """The driver gate's construction (exponential user-id magnitude
+    buckets): wide per-group frequency margins make the retained top-3 set,
+    order and counts invariant across partitionings — the property the
+    q_grouped_topn docstring relies on."""
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet")).select(
+        "event_type",
+        (F.length(F.expr("bin(user_id + 2)")) - 1).cast("int").alias("bucket"),
+    )
+    a = sorted(
+        tuple(r) for r in grouped_topn(events, "event_type", "bucket", n=3, e=0.0001).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in grouped_topn(
+            events.repartition(13), "event_type", "bucket", n=3, e=0.0001
+        ).collect()
+    )
+    assert a == b and len(a) > 0

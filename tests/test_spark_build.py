@@ -493,14 +493,26 @@ def test_parquet_direct_row_group_splits(spark, tmp_path):
 
     from cms_topn_spark.core import CmsTopn
     from cms_topn_spark.operators.build import sketch_agg_parquet
-    from cms_topn_spark.sources.parquet_direct import n_splits
+    from cms_topn_spark.sources.parquet_direct import parquet_splits
 
     # one "giant" file with 5 row groups of 1000 rows each
     p = str(tmp_path / "big.parquet")
     tbl = pa.table({"k": pa.array([f"item{i % 7}" for i in range(5000)])})
     pq.write_table(tbl, p, row_group_size=1000)
-    assert n_splits(p) == 1
-    assert n_splits(p, split_row_groups=True) == 5
+    assert len(parquet_splits(p)) == 1
+    assert len(parquet_splits(p, split_row_groups=True)) == 5
+    # empty file: row-group splitting must still yield >=1 task (a 0-row
+    # write may produce 0 OR 1 row groups depending on the writer) so the
+    # empty input returns the empty-sketch result instead of crashing
+    # parallelize([], 0)
+    p0 = str(tmp_path / "empty.parquet")
+    pq.write_table(tbl.slice(0, 0), p0)
+    sp0 = parquet_splits(p0, split_row_groups=True)
+    assert len(sp0) >= 1
+    assert sketch_agg_parquet(
+        spark, p0, ["k"], lambda: CmsTopn(5, update="linear"),
+        split_row_groups=True,
+    ).topn_list() == []
 
     a = sketch_agg_parquet(
         spark, p, ["k"], lambda: CmsTopn(5, 0.0001, 0.99, update="linear")
