@@ -137,6 +137,14 @@ def _tree_cpu_seconds() -> float:
 # immediately before timed reps; the reactive CPU-ref rep flagging stays.
 PROBE_QUIET_REF = float(os.environ.get("SPARK_GRAFT_PROBE_REF", "0.07"))
 PROBE_STORM_RATIO = 2.0
+# round 6 (verdict #3): when every probe in the window is stormy, don't burn
+# the rep — defer the (rep, level) cell to the back of the interleaved queue
+# and run another cell first; and extend the probe wait proportionally to the
+# observed severity (a 10× storm decays slower than a 2.5× one), both bounded
+PROBE_WAIT_BASE = 30.0
+PROBE_WAIT_ADAPTIVE_MAX = 120.0
+PROBE_DEFER_BUDGET = float(os.environ.get("SPARK_GRAFT_PROBE_DEFER_BUDGET", "300"))
+MAX_DEFERS_PER_CELL = 2
 
 
 def cpu_probe() -> float:
@@ -153,17 +161,42 @@ def cpu_probe() -> float:
     return time.monotonic() - t0
 
 
-def wait_for_probe_quiet(timeout: float = 30.0, streak_needed: int = 2) -> float:
+def wait_for_probe_quiet(
+    timeout: float = PROBE_WAIT_BASE,
+    streak_needed: int = 2,
+    adaptive_max: float | None = None,
+) -> float:
     """Bounded wait for ``streak_needed`` consecutive quiet probes (wall <=
     PROBE_STORM_RATIO x the quiet reference). On success returns the last
     (quiet) probe wall; on TIMEOUT returns the WORST probe of the final
     window — a single lucky probe at the deadline must not make a stormy
     handoff look quiet in the recorded telemetry. Quiet probes confirm
     back-to-back (~0.2 s apart) so the gate costs ~0.35 s on a quiet box;
-    only stormy probes wait the full 3 s before retrying."""
+    only stormy probes wait the full 3 s before retrying.
+
+    ``adaptive_max`` (round 6): when the base timeout expires while probes
+    are still stormy, extend the deadline ONCE, proportionally to observed
+    severity (worst recent probe / the storm threshold, capped at 4×), but
+    never past ``adaptive_max`` total — the r5 driver run showed 14-35×
+    storms for which a flat 30 s wait simply expires."""
     t0 = time.monotonic()
+    deadline = timeout
+    extended = adaptive_max is None
     streak = 0
     recent: list[float] = []
+
+    def expired() -> bool:
+        nonlocal deadline, extended
+        now = time.monotonic() - t0
+        if now < deadline:
+            return False
+        if not extended:
+            extended = True
+            sev = max(recent) / (PROBE_STORM_RATIO * PROBE_QUIET_REF)
+            deadline = min(adaptive_max, timeout * max(1.0, min(sev, 4.0)))
+            return now >= deadline
+        return True
+
     while True:
         p = cpu_probe()
         recent = (recent + [p])[-streak_needed:]
@@ -174,10 +207,10 @@ def wait_for_probe_quiet(timeout: float = 30.0, streak_needed: int = 2) -> float
             time.sleep(0.2)  # quick confirm — don't tax the quiet box
         else:
             streak = 0
-            if time.monotonic() - t0 >= timeout:
+            if expired():
                 return round(max(recent), 3)
-            time.sleep(3)
-        if time.monotonic() - t0 >= timeout:
+            time.sleep(min(3.0, max(0.05, deadline - (time.monotonic() - t0))))
+        if expired():
             return round(max(recent), 3)
 
 
@@ -292,49 +325,44 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
 
     probes = []
 
-    def run_pair(rep: int) -> None:
-        for cpus in levels:
-            # bounded CPU-probe wait: don't START a timed rep inside a
-            # contention burst loadavg can't see (the reactive CPU-ref
-            # flagging below still catches storms that land mid-rep)
-            probes.append(wait_for_probe_quiet(timeout=30))
-            spark = get_spark(
-                f"bench-scaling-{cpus}",
-                cpus=cpus,
-                shuffle_partitions=cpus,
-                # one ~12MB file per split: uniform task sizes kill the
-                # greedy-file-packing stragglers (2-4x task variance), which
-                # stabilizes the higher level's wave quantization
-                extra_conf={"spark.sql.files.maxPartitionBytes": "16777216"},
-            )
-            warmup(spark, cpus)
-            pages = spark.read.parquet(input_path).select("url", "text")
-            # warm this session's workers on a FILE SUBSET: batches are
-            # full-size (a row-sample would halve them and leave the arena
-            # high-water — numpy temps, Arrow buffers — only half faulted-in,
-            # so the timed run would still pay first-touch page faults), but
-            # only ~2 waves of tasks run, so the warm costs a fraction of a rep
-            from cms_topn_spark.plans.flagship import run_flagship
+    def run_cell(rep: int, cpus: int) -> None:
+        spark = get_spark(
+            f"bench-scaling-{cpus}",
+            cpus=cpus,
+            shuffle_partitions=cpus,
+            # one ~12MB file per split: uniform task sizes kill the
+            # greedy-file-packing stragglers (2-4x task variance), which
+            # stabilizes the higher level's wave quantization
+            extra_conf={"spark.sql.files.maxPartitionBytes": "16777216"},
+        )
+        warmup(spark, cpus)
+        pages = spark.read.parquet(input_path).select("url", "text")
+        # warm this session's workers on a FILE SUBSET: batches are
+        # full-size (a row-sample would halve them and leave the arena
+        # high-water — numpy temps, Arrow buffers — only half faulted-in,
+        # so the timed run would still pay first-touch page faults), but
+        # only ~2 waves of tasks run, so the warm costs a fraction of a rep
+        from cms_topn_spark.plans.flagship import run_flagship
 
-            files = sorted(
-                os.path.join(input_path, f)
-                for f in os.listdir(input_path)
-                if f.endswith(".parquet")
-            )
-            warm_files = files[:32]  # same warm coverage at BOTH levels
-            run_flagship(spark.read.parquet(*warm_files).select("url", "text"))
-            load_pre = os.getloadavg()[0]
-            cpu0 = _tree_cpu_seconds()
-            t0 = time.monotonic()
-            total = flagship_build(spark, input_path, pages)
-            wall = time.monotonic() - t0
-            cpu = _tree_cpu_seconds() - cpu0
-            assert total == n_docs
-            walls[cpus].append(wall)
-            cpus_used[cpus].append(cpu)
-            loads.append(round(load_pre, 2))
-            log(f"  rep{rep} local[{cpus}]: {wall:.2f}s wall, {cpu:.1f}s cpu (load {load_pre:.1f})")
-            spark.stop()
+        files = sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".parquet")
+        )
+        warm_files = files[:32]  # same warm coverage at BOTH levels
+        run_flagship(spark.read.parquet(*warm_files).select("url", "text"))
+        load_pre = os.getloadavg()[0]
+        cpu0 = _tree_cpu_seconds()
+        t0 = time.monotonic()
+        total = flagship_build(spark, input_path, pages)
+        wall = time.monotonic() - t0
+        cpu = _tree_cpu_seconds() - cpu0
+        assert total == n_docs
+        walls[cpus].append(wall)
+        cpus_used[cpus].append(cpu)
+        loads.append(round(load_pre, 2))
+        log(f"  rep{rep} local[{cpus}]: {wall:.2f}s wall, {cpu:.1f}s cpu (load {load_pre:.1f})")
+        spark.stop()
 
     def clean_reps(c: int) -> int:
         """Reps whose CPU-for-identical-work stayed near the quiet-box
@@ -347,11 +375,53 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
             return len(cpus_used[c])
         return sum(1 for x in cpus_used[c] if x <= CPU_STORM_RATIO * ref)
 
-    for rep in range(reps):
-        run_pair(rep)
+    # round-6 scheduler (verdict #3): the fixed interleaved (rep, level)
+    # cells run from a queue. Before each cell, a bounded severity-adaptive
+    # probe wait runs; if the window is STILL stormy at its end, the cell is
+    # DEFERRED to the back of the queue (bounded per-cell and by a total
+    # probe-time budget) instead of burning the rep inside the storm — the
+    # r5 driver run started every local[8] rep stormy (`clean_reps {2:2,
+    # 8:0}`) because the flat 30 s wait simply expired. Every rule here is
+    # outcome-independent: deferral looks only at the probe sensor, never at
+    # walls or efficiency, and the SAME fixed set of cells always runs.
+    pending = [(rep, c) for rep in range(reps) for c in levels]
+    defers: dict[tuple, int] = {}
+    deferred_cells = 0
+    probe_wait_spent = 0.0
+    while pending:
+        rep, cpus = pending.pop(0)
+        can_adapt = probe_wait_spent < PROBE_DEFER_BUDGET
+        pt0 = time.monotonic()
+        p = wait_for_probe_quiet(
+            timeout=PROBE_WAIT_BASE,
+            adaptive_max=PROBE_WAIT_ADAPTIVE_MAX if can_adapt else None,
+        )
+        probe_wait_spent += time.monotonic() - pt0
+        stormy = p > PROBE_STORM_RATIO * PROBE_QUIET_REF
+        if (
+            stormy
+            and pending  # something else to run meanwhile
+            and defers.get((rep, cpus), 0) < MAX_DEFERS_PER_CELL
+            and probe_wait_spent < PROBE_DEFER_BUDGET
+        ):
+            defers[(rep, cpus)] = defers.get((rep, cpus), 0) + 1
+            deferred_cells += 1
+            pending.append((rep, cpus))
+            log(
+                f"  probe {p}s still stormy — deferring rep{rep} local[{cpus}] "
+                f"(defer {defers[(rep, cpus)]}/{MAX_DEFERS_PER_CELL})"
+            )
+            continue
+        probes.append(p)
+        run_cell(rep, cpus)
         # the only early exit is the WALL BUDGET — a rule independent of the
         # measured efficiency, so it cannot bias the recorded statistic
-        if rep + 1 < reps and time.monotonic() - section_t0 > SCALING_WALL_BUDGET:
+        if (
+            pending
+            and time.monotonic() - section_t0 > SCALING_WALL_BUDGET
+            and walls[lo]
+            and walls[hi]
+        ):
             log("  scaling wall budget exhausted — reporting completed reps")
             break
 
@@ -370,7 +440,13 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
             f", cpu refs {CPU_QUIET_REF}) — extra interleaved pair"
         )
         wait_for_ambient_quiet(timeout=60)
-        run_pair(len(walls[lo]))
+        for cpus in levels:
+            probes.append(
+                wait_for_probe_quiet(
+                    timeout=PROBE_WAIT_BASE, adaptive_max=PROBE_WAIT_ADAPTIVE_MAX
+                )
+            )
+            run_cell(len(walls[cpus]), cpus)
         extra_pairs += 1
 
     def med(xs):
@@ -400,6 +476,7 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
     res["reps_fixed"] = True
     res["reps"] = len(walls[lo])
     res["extra_storm_pairs"] = extra_pairs
+    res["deferred_cells"] = deferred_cells  # stormy-probe deferrals (round 6)
     res["clean_reps"] = {str(c): clean_reps(c) for c in levels}
     res["cpu_sec_per_rep"] = {
         str(c): [round(x, 1) for x in cpus_used[c]] for c in levels
@@ -434,9 +511,9 @@ def run_scaling(input_path: str, n_docs: int, levels=SCALING_LEVELS, reps: int =
 # scaling (5k docs / 100k events — pure fixed overhead), so each pipeline
 # gets a deterministic scaled-up input of the SAME shape it is gated on:
 # mostly-unique docs with planted duplicates for minhash, a many-group
-# numeric stream for the grouped quantiles. 2 fixed interleaved rep pairs,
-# best-of walls, per-rep CPU seconds (the same outcome-independent storm
-# telemetry the flagship section records).
+# numeric stream for the grouped quantiles. QSCALING_REPS fixed interleaved
+# rep pairs (best-of-3), best-of walls, per-rep CPU seconds (the same
+# outcome-independent storm telemetry the flagship section records).
 QSCALING_MINHASH_DOCS = int(os.environ.get("SPARK_GRAFT_QS_DOCS", "90000"))
 QSCALING_KLL_ROWS = int(os.environ.get("SPARK_GRAFT_QS_ROWS", "60000000"))
 QSCALING_KLL_GROUPS = 2000
@@ -596,6 +673,71 @@ def run_query_scaling(levels=SCALING_LEVELS, reps: int = QSCALING_REPS) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# ---- final-line output (round-6 verdict #1) --------------------------------
+# The driver captures only the LAST ~2,000 bytes of bench stdout and parses
+# the final JSON line. BENCH_r05's single detail line (with per-rep arrays)
+# outgrew that window and the round lost its official headline record
+# ("parsed": null). So: the full-detail line prints FIRST (and is also
+# written to BENCH/bench_full_latest.json), and a compact summary line —
+# guaranteed under TAIL_SAFE_BYTES — prints LAST.
+TAIL_SAFE_BYTES = 1900  # < 2,000 driver window, margin for a trailing newline
+
+
+def compact_summary(full: dict) -> dict:
+    """Distill the full result dict to the driver-facing summary: headline
+    value + per-query walls + scaling efficiencies/parity/clean-rep counts —
+    no per-rep arrays (those live in the full record)."""
+    out = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": {k: round(v, 2) for k, v in (full.get("queries") or {}).items()},
+        "sf": full["sf"],
+    }
+    sc = full.get("scaling")
+    if sc:
+        out["scaling"] = {
+            "docs": sc["docs"],
+            "docs_per_sec": {
+                "2": sc["local2"]["docs_per_sec"],
+                "8": sc["local8"]["docs_per_sec"],
+            },
+            "efficiency": sc["efficiency"],
+            "efficiency_raw": sc["efficiency_raw"],
+            "efficiency_median": sc["efficiency_median"],
+            "efficiency_cpu_adjusted": sc["efficiency_cpu_adjusted"],
+            "cpu_parity": sc["cpu_parity"],
+            "clean_reps": sc["clean_reps"],
+            "extra_storm_pairs": sc["extra_storm_pairs"],
+            "deferred_cells": sc.get("deferred_cells"),
+        }
+    qsc = full.get("query_scaling")
+    if qsc:
+        out["query_scaling"] = {
+            name: {
+                "efficiency_raw": v["efficiency_raw"],
+                "efficiency_cpu_adjusted": v["efficiency_cpu_adjusted"],
+                "cpu_parity": v["cpu_parity"],
+            }
+            for name, v in qsc.items()
+            if isinstance(v, dict) and "efficiency_raw" in v
+        }
+    return out
+
+
+def final_line(full: dict) -> str:
+    """Serialize the compact summary, hard-guaranteeing the tail-window fit
+    by stripping optional sections in a fixed order if ever needed."""
+    out = compact_summary(full)
+    line = json.dumps(out, separators=(",", ":"))
+    for victim in ("query_scaling", "scaling", "queries"):
+        if len(line) <= TAIL_SAFE_BYTES:
+            break
+        out.pop(victim, None)
+        line = json.dumps(out, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -698,22 +840,31 @@ def main() -> None:
                     "loadavg_per_rep": scaling_28["loadavg_per_rep"],
                     # measured contention sensor before each rep (cpu_probe)
                     "probe_per_rep": scaling_28.get("probe_per_rep"),
+                    # stormy-probe cell deferrals granted by the round-6
+                    # outcome-independent scheduler
+                    "deferred_cells": scaling_28.get("deferred_cells"),
         }
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time + flagship CMS build docs/sec scaling",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "scaling": scaling_json,
-                "query_scaling": query_scaling,
-            }
-        ),
-        flush=True,
-    )
+    full = {
+        "metric": "headline query wall time + flagship CMS build docs/sec scaling",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "scaling": scaling_json,
+        "query_scaling": query_scaling,
+    }
+    # full detail first (also persisted for the record), compact line LAST —
+    # the driver's 2,000-byte stdout tail must always land on valid JSON
+    try:
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "bench_full_latest.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as e:
+        log(f"  (could not persist full bench record: {e})")
+    print(json.dumps(full), flush=True)
+    print(final_line(full), flush=True)
 
 
 if __name__ == "__main__":

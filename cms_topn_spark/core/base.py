@@ -51,6 +51,27 @@ def register(kind: int):
     return deco
 
 
+def frame_guarded(fn):
+    """Wrap a ``from_bytes`` implementation so ANY malformed frame —
+    truncated payload, short header, impossible field values — surfaces as
+    SketchError, never a raw numpy/struct exception. ``sketch_from_bytes``
+    has always guaranteed this for the polymorphic path; the per-class
+    ``CmsTopn.from_bytes(...)`` entry points are equally part of the public
+    surface and get the same guarantee (round-6 verify probe)."""
+
+    def wrapped(cls, b: bytes):
+        try:
+            return fn(cls, b)
+        except SketchError:
+            raise
+        except (ValueError, struct.error, IndexError, OverflowError) as e:
+            raise SketchError(f"corrupt serialized sketch: {e}") from e
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 class MergeableSketch(ABC):
     KIND: int = 0
     VERSION: int = 1

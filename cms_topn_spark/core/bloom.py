@@ -15,7 +15,7 @@ import struct
 import numpy as np
 
 from . import encoding as enc
-from .base import KIND_BLOOM, MergeableSketch, SketchError, register
+from .base import KIND_BLOOM, MergeableSketch, frame_guarded, SketchError, register
 from .murmur import MURMUR_SEED, hash128
 
 U64 = np.uint64
@@ -140,6 +140,7 @@ class BloomFilter(MergeableSketch):
         )
 
     @classmethod
+    @frame_guarded
     def from_bytes(cls, b: bytes) -> "BloomFilter":
         kind, _, item_type, _ = cls.unpack_header(b)
         if kind != KIND_BLOOM:

@@ -39,7 +39,7 @@ import struct
 import numpy as np
 
 from . import encoding as enc
-from .base import KIND_CMS_TOPN, MergeableSketch, SketchError, register
+from .base import KIND_CMS_TOPN, MergeableSketch, frame_guarded, SketchError, register
 from .murmur import MURMUR_SEED, hash128
 
 U64 = np.uint64
@@ -431,6 +431,7 @@ class CmsTopn(MergeableSketch):
         return b"".join(parts)
 
     @classmethod
+    @frame_guarded
     def from_bytes(cls, b: bytes) -> "CmsTopn":
         kind, version, item_type, flags = cls.unpack_header(b)
         if kind != KIND_CMS_TOPN:
@@ -455,8 +456,12 @@ class CmsTopn(MergeableSketch):
         for _ in range(count):
             freq, seq, ln = _ENTRY.unpack_from(b, pos)
             pos += _ENTRY.size
+            if pos + ln > len(b):
+                raise SketchError("corrupt serialized sketch: truncated topn item")
             out.topn[bytes(b[pos : pos + ln])] = [freq, seq]
             pos += ln
+        if pos != len(b):
+            raise SketchError("corrupt serialized sketch: trailing bytes")
         return out
 
     # convenience for tests

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import struct
 
-from .base import MergeableSketch, SketchError, register, sketch_from_bytes
+from .base import MergeableSketch, frame_guarded, SketchError, register, sketch_from_bytes
 
 KIND_COMPOSITE = 7
 _ENTRY = struct.Struct("<HI")  # name_len, payload_len
@@ -48,6 +48,7 @@ class CompositeSketch(MergeableSketch):
         return b"".join(parts)
 
     @classmethod
+    @frame_guarded
     def from_bytes(cls, b: bytes) -> "CompositeSketch":
         kind, _, _, _ = cls.unpack_header(b)
         if kind != KIND_COMPOSITE:

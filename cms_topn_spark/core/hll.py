@@ -26,7 +26,7 @@ import struct
 import numpy as np
 
 from . import encoding as enc
-from .base import KIND_HLL, MergeableSketch, SketchError, register
+from .base import KIND_HLL, MergeableSketch, frame_guarded, SketchError, register
 from .murmur import MURMUR_SEED, hash128
 
 U64 = np.uint64
@@ -203,6 +203,7 @@ class HyperLogLog(MergeableSketch):
         )
 
     @classmethod
+    @frame_guarded
     def from_bytes(cls, b: bytes) -> "HyperLogLog":
         kind, _, item_type, _ = cls.unpack_header(b)
         if kind != KIND_HLL:

@@ -19,7 +19,7 @@ import struct
 
 import numpy as np
 
-from .base import KIND_KLL, MergeableSketch, SketchError, register
+from .base import KIND_KLL, MergeableSketch, frame_guarded, SketchError, register
 
 _FIXED = struct.Struct("<IIQQ")  # k, n_levels, n, parity_bits
 
@@ -173,6 +173,7 @@ class KllSketch(MergeableSketch):
         return b"".join(parts)
 
     @classmethod
+    @frame_guarded
     def from_bytes(cls, b: bytes) -> "KllSketch":
         kind, _, _, _ = cls.unpack_header(b)
         if kind != KIND_KLL:

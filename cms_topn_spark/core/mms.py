@@ -24,7 +24,7 @@ import struct
 import numpy as np
 
 from . import encoding as enc
-from .base import KIND_MMS, MergeableSketch, SketchError, register
+from .base import KIND_MMS, MergeableSketch, frame_guarded, SketchError, register
 from .cms_topn import sizing
 from .murmur import MURMUR_SEED, hash128
 
@@ -184,6 +184,7 @@ class MinMaskSketch(MergeableSketch):
         )
 
     @classmethod
+    @frame_guarded
     def from_bytes(cls, b: bytes) -> "MinMaskSketch":
         kind, _, item_type, _ = cls.unpack_header(b)
         if kind != KIND_MMS:

@@ -20,7 +20,7 @@ import struct
 
 import numpy as np
 
-from .base import KIND_TDIGEST, MergeableSketch, SketchError, register
+from .base import KIND_TDIGEST, MergeableSketch, frame_guarded, SketchError, register
 
 _FIXED = struct.Struct("<dQQ")  # delta, n_centroids, n
 
@@ -171,6 +171,7 @@ class TDigest(MergeableSketch):
         )
 
     @classmethod
+    @frame_guarded
     def from_bytes(cls, b: bytes) -> "TDigest":
         kind, _, _, _ = cls.unpack_header(b)
         if kind != KIND_TDIGEST:

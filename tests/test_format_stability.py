@@ -59,6 +59,34 @@ def test_mms_v1():
     assert sk.to_bytes() == b
 
 
+def test_truncated_frames_raise_sketcherror_everywhere():
+    """Round-6 verify probe: truncated/corrupt frames must surface as
+    SketchError from BOTH entry points — the polymorphic sketch_from_bytes
+    AND each class's own from_bytes (which previously leaked struct.error
+    on a header-truncating cut)."""
+    import pytest
+
+    from cms_topn_spark.core import SketchError
+    from cms_topn_spark.core.base import _REGISTRY
+
+    for name in ("cms_topn", "hll", "bloom", "kll", "tdigest", "mms"):
+        b = _load(name)
+        cls = type(sketch_from_bytes(b))
+        for cut in (4, 12, 40, len(b) - 1):
+            if cut >= len(b):
+                continue
+            with pytest.raises(SketchError):
+                sketch_from_bytes(b[:cut])
+            with pytest.raises(SketchError):
+                cls.from_bytes(b[:cut])
+    # unknown kind byte still rejected
+    bad = _load("cms_topn")
+    bad = bad[:4] + bytes([99]) + bad[5:]
+    with pytest.raises(SketchError):
+        sketch_from_bytes(bad)
+    assert _REGISTRY  # registry populated (guard applied to registered classes)
+
+
 def test_hex_text_form():
     """cms_in/cms_out analogue: PG bytea hex literal round-trip (cms_mms.c:105-126)."""
     import pytest
