@@ -47,14 +47,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def parquet_files(path: str) -> list[str]:
-    """Sorted data-file list of a parquet file or directory."""
+    """Sorted data-file list of a parquet file or directory tree.
+
+    Recurses so Hive-partitioned layouts (``key=value`` subdirectories, as
+    ``DataFrameWriter.partitionBy`` produces) are listed too — note the
+    partition-key COLUMNS encoded in those directory names are not
+    materialized by this source (they live in the path, not the file); use
+    the JVM scan when the kernel needs them."""
     if os.path.isfile(path):
         return [path]
-    return sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
+    out: list[str] = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+        out.extend(
+            os.path.join(root, f)
+            for f in names
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return sorted(out)
 
 
 def spark_type_of(path: str, column: str) -> str:
@@ -62,7 +72,10 @@ def spark_type_of(path: str, column: str) -> str:
     that need it for several schemas should read it once and pass it down)."""
     import pyarrow.parquet as pq
 
-    field = pq.read_schema(parquet_files(path)[0]).field(column)
+    files = parquet_files(path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+    field = pq.read_schema(files[0]).field(column)
     t = field.type
     if pa.types.is_int8(t) or pa.types.is_int16(t) or pa.types.is_int32(t):
         return "int"
@@ -128,11 +141,13 @@ def map_parquet_batches(
             for rb in batches:
                 rgs = rb.column(1).to_pylist()
                 for p, rg in zip(rb.column(0).to_pylist(), rgs):
-                    pf = pq.ParquetFile(p)
-                    kw = {} if rg < 0 else {"row_groups": [rg]}
-                    yield from pf.iter_batches(
-                        columns=columns, use_threads=False, **kw
-                    )
+                    # close each handle as its split is exhausted — a task
+                    # over many splits must not hold every fd until GC
+                    with pq.ParquetFile(p) as pf:
+                        kw = {} if rg < 0 else {"row_groups": [rg]}
+                        yield from pf.iter_batches(
+                            columns=columns, use_threads=False, **kw
+                        )
 
         yield from fold(split_batches())
 
