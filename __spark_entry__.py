@@ -456,6 +456,35 @@ def q_cosine_near_dup_pairs(spark, sf_dir):
     )
 
 
+COSINE_PLANTED_THRESHOLD = 0.95
+
+
+def q_cosine_lsh_planted_pairs(spark, sf_dir):
+    """cosine_near_dup_pairs_lsh's BUCKETED regime under the hard gate —
+    the 100-TB near-dup plan itself, not its exactness stand-in. The natural
+    corpus has no pairs above cosine 0.61 at any SF (measured), so each
+    query vector is re-planted at vec_id+10⁶ scaled ×2: cosine-identical
+    (scaling preserves hyperplane signs exactly — multiply-by-2 is an
+    exponent bump), so every planted pair collides in EVERY table and
+    recall is 1.0 by construction, while the 0.95 threshold excludes all
+    natural pairs. The emitted set is therefore exactly the 20 planted
+    pairs, and the DuckDB oracle is the exact all-pairs scan over the same
+    planted corpus. max_candidate_fraction=0.15 asserts the bucketed
+    regime: the candidate self-join touches ~7 % of the all-pairs space
+    here (measured both SFs; the fraction falls with corpus size as
+    buckets thin out), and a bucket-skewed corpus fails loudly instead of
+    silently degrading to O(n²)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        (F.col("vec_id") + F.lit(PLANTED_NN_OFFSET)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    planted = emb.unionByName(dup)
+    return similarity.cosine_near_dup_pairs_lsh(
+        planted, COSINE_PLANTED_THRESHOLD, max_candidate_fraction=0.15
+    )
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
@@ -633,10 +662,15 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     throughout (collision-negligible CMS width, sparse-exact HLL,
     no-compaction KLL), so the multi-subquery SQL oracle applies. At 100 TB
     this is N corpus-statistics jobs collapsed into one scan whose exchange
-    is a few sketch-sized rows."""
+    is a few sketch-sized rows. ``n_tokens=64``: the gate corpora measure a
+    max-frequency tie width of exactly 1 at every SF, but top-token
+    determinism only holds while ties fit the retained heap (profile.py
+    documents the >n-way-tie limitation), so the gate keeps 64 entries —
+    far above any plausible tie — rather than relying on the corpus never
+    tying."""
     from cms_topn_spark.plans.profile import corpus_profile
 
-    p = corpus_profile(_t(spark, sf_dir, "documents"))
+    p = corpus_profile(_t(spark, sf_dir, "documents"), n_tokens=64)
     return _profile_df(spark, p)
 
 
@@ -647,10 +681,13 @@ def q_corpus_profile_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the text column, no JVM row pivot — the GLOBAL-build analogue of
     grouped_kll_quantiles_direct, showing the direct path generalizes to
     the flagship north-star shape. Same composite fold, same merge, same
-    multi-subquery oracle as corpus_profile."""
+    multi-subquery oracle as corpus_profile. Same ``n_tokens=64`` tie-width
+    headroom as q_corpus_profile."""
     from cms_topn_spark.plans.profile import corpus_profile_parquet
 
-    p = corpus_profile_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    p = corpus_profile_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet"), n_tokens=64
+    )
     return _profile_df(spark, p)
 
 
@@ -1017,6 +1054,7 @@ _ORDER: dict[str, str] = {
     "ann_lsh_topk": "query_id, rank",
     "ann_ivf_topk": "query_id, rank",
     "cosine_near_dup_pairs": "a_id, b_id",
+    "cosine_lsh_planted_pairs": "a_id, b_id",
     "winnow_fingerprints": "doc_id, fp",
     "curate_corpus": "doc_id",
     "stratified_sample": "doc_id",
@@ -1071,7 +1109,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the correctness harness records the first ~50 entries
+    # per round, so entries without a prior-round record go FIRST (round 6:
+    # the four r5 tail queries plus the new planted-LSH gate), and the slots
+    # they displace rotate to the tail — each tail entry has a recorded
+    # near-twin this round (jaccard_pairs→jaccard_pairs_pruned,
+    # lang_id→lang_id_ngram, ann_lsh_topk→ann_brute/ann_lsh_planted,
+    # ann_ivf_topk→ann_ivf_planted, corpus_profile→corpus_profile_direct
+    # which shares the identical oracle SQL) and rotates back next round.
     return {
+        "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
+        "cosine_lsh_planted_pairs": q_cosine_lsh_planted_pairs,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "curate_corpus": q_curate_corpus,
+        "stratified_sample": q_stratified_sample,
         "cms_topn_event_types": q_cms_topn_event_types,
         "cms_topn_doc_tokens": q_cms_topn_doc_tokens,
         "cms_topn_frequency_probe": q_cms_topn_frequency_probe,
@@ -1100,7 +1151,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "top_nations_revenue": q_top_nations_revenue,
         "token_stats": q_token_stats,
-        "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
@@ -1111,21 +1161,19 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "fingerprint_decontamination": q_fingerprint_decontamination,
         "doc_chunks": q_doc_chunks,
-        "corpus_profile": q_corpus_profile,
         "corpus_profile_direct": q_corpus_profile_direct,
-        "jaccard_pairs": q_jaccard_pairs,
         "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dup_clusters": q_dup_clusters,
         "simhash_docs": q_simhash_docs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_brute_topk": q_ann_brute_topk,
+        # ---- rotation tail (see the ordering comment above) ----
+        "jaccard_pairs": q_jaccard_pairs,
+        "lang_id": q_lang_id,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "curate_corpus": q_curate_corpus,
-        "stratified_sample": q_stratified_sample,
+        "corpus_profile": q_corpus_profile,
     }
 
 
@@ -1378,6 +1426,22 @@ def _raw_oracle_sql() -> dict[str, str]:
             ), """,
         ),
         "cosine_near_dup_pairs": similarity.cosine_near_dup_pairs_sql(COSINE_DUP_THRESHOLD),
+        # bucketed LSH on the planted-duplicate corpus vs the exact all-pairs
+        # scan over the SAME corpus (cosine-identical dup ⇒ every planted
+        # pair collides in every table ⇒ recall 1.0 by construction; no
+        # natural pair reaches the 0.95 threshold)
+        "cosine_lsh_planted_pairs": similarity.cosine_near_dup_pairs_sql(
+            COSINE_PLANTED_THRESHOLD,
+            table="planted",
+            prelude=f"""planted AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + {PLANTED_NN_OFFSET},
+                     list_transform(embedding, x -> x * 2)
+              FROM embeddings
+              WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+            ), """,
+        ),
         # full winnowing / simhash schemes recomputed in SQL (splitmix64 via
         # HUGEINT modular multiplies) — bit-exact vs the Spark operators
         "winnow_fingerprints": dedup.winnow_fingerprints_sql(),

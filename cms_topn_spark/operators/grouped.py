@@ -276,6 +276,13 @@ def grouped_topn(
     states = grouped_sketch_states(
         df, group_col, value_col, lambda: CmsTopn(n, e, p, update="linear")
     )
+    return _topn_readout(states, group_col, gtype, item_type)
+
+
+def _topn_readout(
+    states: DataFrame, group_col: str, gtype: str, item_type: str
+) -> DataFrame:
+    from ..core.base import sketch_from_bytes
 
     def explode(pdf: pd.DataFrame) -> pd.DataFrame:
         out_g, out_i, out_f = [], [], []
@@ -296,6 +303,43 @@ def grouped_topn(
     return states.groupBy(group_col).applyInPandas(
         explode, f"{group_col} {gtype}, item {item_type}, frequency long"
     )
+
+
+def grouped_topn_parquet(
+    spark,
+    path: str,
+    group_col: str,
+    value_col: str,
+    n: int,
+    e: float = 0.001,
+    p: float = 0.99,
+    split_row_groups: bool = False,
+) -> DataFrame:
+    """:func:`grouped_topn` over a parquet path via the columnar-direct
+    ingest — identical semantics (same fold, same states-only exchange,
+    same readout; parity-tested per group against the DataFrame form), with
+    the scan feeding the Python kernel columnar-to-columnar instead of
+    through Spark's row pivot (see :func:`grouped_sketch_states_parquet`
+    for the measurements and when NOT to prefer this path). The item type
+    comes from the parquet footer the same way the DataFrame form reads it
+    from the Spark schema."""
+    from ..core.cms_topn import CmsTopn
+    from ..sources.parquet_direct import spark_type_of
+
+    gtype = spark_type_of(path, group_col)
+    vtype = spark_type_of(path, value_col)
+    item_type = _ITEM_TYPES.get(vtype)
+    if item_type is None:
+        raise TypeError(
+            f"grouped_topn value column type {vtype!r} has no sketch item "
+            f"encoding (supported: {sorted(_ITEM_TYPES)})"
+        )
+    states = grouped_sketch_states_parquet(
+        spark, path, group_col, value_col,
+        lambda: CmsTopn(n, e, p, update="linear"), gtype=gtype,
+        split_row_groups=split_row_groups,
+    )
+    return _topn_readout(states, group_col, gtype, item_type)
 
 
 def grouped_quantiles(
@@ -404,6 +448,14 @@ def grouped_distinct(
     states = grouped_sketch_states(
         df, group_col, value_col, lambda: HyperLogLog(p=p, sparse_limit=sparse_limit)
     )
+    return _distinct_readout(states, group_col, gtype, out_col)
+
+
+def _distinct_readout(
+    states: DataFrame, group_col: str, gtype: str, out_col: str
+) -> DataFrame:
+    from ..core.base import sketch_from_bytes
+
     schema = f"{group_col} {gtype}, {out_col} long"
 
     def readout(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -415,3 +467,29 @@ def grouped_distinct(
             yield pd.DataFrame({group_col: out_g, out_col: out_n})
 
     return states.mapInPandas(readout, schema)
+
+
+def grouped_distinct_parquet(
+    spark,
+    path: str,
+    group_col: str,
+    value_col: str,
+    p: int = 14,
+    sparse_limit: int | None = 1 << 22,
+    out_col: str = "distinct_values",
+    split_row_groups: bool = False,
+) -> DataFrame:
+    """:func:`grouped_distinct` over a parquet path via the columnar-direct
+    ingest — identical semantics; see :func:`grouped_sketch_states_parquet`
+    for the row-pivot measurements this path avoids and the cases where the
+    JVM scan is still the right choice."""
+    from ..core.hll import HyperLogLog
+    from ..sources.parquet_direct import spark_type_of
+
+    gtype = spark_type_of(path, group_col)
+    states = grouped_sketch_states_parquet(
+        spark, path, group_col, value_col,
+        lambda: HyperLogLog(p=p, sparse_limit=sparse_limit), gtype=gtype,
+        split_row_groups=split_row_groups,
+    )
+    return _distinct_readout(states, group_col, gtype, out_col)

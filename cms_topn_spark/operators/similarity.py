@@ -175,9 +175,16 @@ def cosine_near_dup_pairs(
     return df.select(id_col, vec_col).mapInArrow(fn, "a_id long, b_id long")
 
 
-def cosine_near_dup_pairs_sql(threshold: float, table: str = "embeddings") -> str:
+def cosine_near_dup_pairs_sql(
+    threshold: float, table: str = "embeddings", prelude: str = ""
+) -> str:
+    """``prelude`` lets callers prepend extra CTEs (e.g. a planted-duplicate
+    corpus) that ``table`` refers to; it must end with a comma when set
+    (trailing whitespace tolerated — this query has no CTE of its own, so
+    the trailing comma is stripped)."""
+    head = f"WITH {prelude.rstrip().rstrip(',')}\n    " if prelude else ""
     return f"""
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    {head}SELECT a.vec_id AS a_id, b.vec_id AS b_id
     FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
     """
@@ -358,6 +365,7 @@ def cosine_near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     materialize: bool = True,
+    max_candidate_fraction: float | None = None,
 ) -> DataFrame:
     """Bucketed cosine near-duplicate pairs — the 100-TB shape.
 
@@ -372,7 +380,16 @@ def cosine_near_dup_pairs_lsh(
 
     The returned pair set (tiny by construction — it is the near-dup output)
     is materialized eagerly via localCheckpoint so the signature cache is
-    released before returning."""
+    released before returning.
+
+    ``max_candidate_fraction`` is the bucket-storm guardrail: when set, the
+    distinct candidate-pair count is measured before verification and a
+    ``ValueError`` is raised if it exceeds that fraction of the n·(n−1)/2
+    all-pairs space — a skewed corpus (one hot bucket, e.g. a constant
+    embedding column) silently degrades the bucketed plan back toward
+    O(n²), and at 100 TB that must fail loudly, not run for a week. Costs
+    one count over the (tiny) candidate set plus one over ``df``; leave
+    ``None`` to skip both."""
     sigs = lsh_signatures(df, id_col, vec_col).persist()
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
@@ -385,6 +402,21 @@ def cosine_near_dup_pairs_lsh(
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
         .distinct()
     )
+    if max_candidate_fraction is not None:
+        cand = cand.persist()
+        n = df.count()
+        n_cand = cand.count()
+        all_pairs = n * (n - 1) / 2
+        if all_pairs and n_cand > max_candidate_fraction * all_pairs:
+            cand.unpersist()
+            sigs.unpersist()
+            raise ValueError(
+                f"LSH candidate set is {n_cand}/{all_pairs:.0f} pairs "
+                f"({n_cand / all_pairs:.1%}) — above the "
+                f"{max_candidate_fraction:.1%} bucketed-regime bound; the "
+                "corpus is bucket-skewed and this plan would degrade toward "
+                "all-pairs"
+            )
     emb_a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("qv"))
     emb_b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("nv"))
     lazy = (
@@ -397,6 +429,8 @@ def cosine_near_dup_pairs_lsh(
         return lazy
     out = lazy.localCheckpoint(eager=True)
     sigs.unpersist()
+    if max_candidate_fraction is not None:
+        cand.unpersist()
     return out
 
 

@@ -76,7 +76,7 @@ def profile_ingest(sk: CompositeSketch, batch: pa.RecordBatch) -> None:
     sk["token_topn"].add_packed(data, offs, lens, counts=counts, type_tag=enc.TYPE_STRING)
 
 
-def corpus_profile(docs, text_col: str = "text") -> dict:
+def corpus_profile(docs, text_col: str = "text", n_tokens: int = 5) -> dict:
     """One-scan profile → dict of scalars (all exact at gate widths).
 
     Empty / all-NULL corpora return the well-defined empty profile instead
@@ -88,14 +88,20 @@ def corpus_profile(docs, text_col: str = "text") -> dict:
     than ``n_tokens`` tokens tie at the maximum frequency, which tied
     tokens survive the heap is itself merge-order dependent, so
     ``top_token`` is deterministic only while max-frequency ties fit within
-    ``n_tokens``. Corpora that may tie wider should raise ``n_tokens`` in
-    :func:`profile_factory` above the expected tie width."""
-    sk = sketch_agg(docs.select(text_col), profile_factory(), profile_ingest)
+    ``n_tokens``. Corpora that may tie wider should raise ``n_tokens``
+    above the expected tie width (both entry points take it)."""
+    sk = sketch_agg(
+        docs.select(text_col), profile_factory(n_tokens=n_tokens), profile_ingest
+    )
     return _profile_readout(sk)
 
 
 def corpus_profile_parquet(
-    spark, path: str, text_col: str = "text", split_row_groups: bool = False
+    spark,
+    path: str,
+    text_col: str = "text",
+    split_row_groups: bool = False,
+    n_tokens: int = 5,
 ) -> dict:
     """:func:`corpus_profile` over a parquet path via the columnar-direct
     ingest (operators/build.py sketch_agg_parquet): one partial composite
@@ -106,8 +112,8 @@ def corpus_profile_parquet(
     from ..operators.build import sketch_agg_parquet
 
     sk = sketch_agg_parquet(
-        spark, path, [text_col], profile_factory(), profile_ingest,
-        split_row_groups=split_row_groups,
+        spark, path, [text_col], profile_factory(n_tokens=n_tokens),
+        profile_ingest, split_row_groups=split_row_groups,
     )
     return _profile_readout(sk)
 

@@ -359,6 +359,84 @@ def test_grouped_quantiles_parquet_direct_matches_dataframe_form(spark, sf001_di
     assert got == [(1, 2.0)]
 
 
+def test_grouped_topn_parquet_direct_state_parity(spark, sf001_dir):
+    """The columnar-direct per-group CMS build merges to the same canonical
+    per-group STATE as the DataFrame form: identical counter matrices,
+    identical totals, identical (item, frequency) top-n sets. Canonical
+    readout rather than raw serialized bytes on purpose — the frame carries
+    insertion-sequence tie-breakers that legitimately differ when the two
+    paths split the input into different task orders (same rule as
+    test_sketch_agg_parquet_matches_dataframe_form)."""
+    import numpy as np
+
+    from cms_topn_spark.core import CmsTopn, sketch_from_bytes
+    from cms_topn_spark.operators.grouped import (
+        grouped_sketch_states,
+        grouped_sketch_states_parquet,
+        grouped_topn,
+        grouped_topn_parquet,
+    )
+
+    path = os.path.join(sf001_dir, "events.parquet")
+    factory = lambda: CmsTopn(5, 0.0001, 0.99, update="linear")
+    a = {
+        r["event_type"]: sketch_from_bytes(bytes(r["state"]))
+        for r in grouped_sketch_states(
+            spark.read.parquet(path), "event_type", "user_id", factory
+        ).collect()
+    }
+    b = {
+        r["event_type"]: sketch_from_bytes(bytes(r["state"]))
+        for r in grouped_sketch_states_parquet(
+            spark, path, "event_type", "user_id", factory
+        ).collect()
+    }
+    assert set(a) == set(b) and len(a) > 0
+    for g in a:
+        assert np.array_equal(a[g].counters, b[g].counters)
+        assert a[g].total == b[g].total
+        assert dict(a[g].topn_list()) == dict(b[g].topn_list())
+
+    # readout parity too: same (group, item, frequency) rows either way
+    ra = sorted(
+        tuple(r)
+        for r in grouped_topn(
+            spark.read.parquet(path), "event_type", "user_id", 5, e=0.0001
+        ).collect()
+    )
+    rb = sorted(
+        tuple(r)
+        for r in grouped_topn_parquet(
+            spark, path, "event_type", "user_id", 5, e=0.0001
+        ).collect()
+    )
+    assert ra == rb and len(ra) > 0
+
+
+def test_grouped_distinct_parquet_direct_matches_dataframe_form(spark, sf001_dir):
+    """Direct-ingest per-group HLL distinct counts equal the DataFrame form
+    row-for-row (sparse-exact regime at sf0.001, so both equal the truth)."""
+    from cms_topn_spark.operators.grouped import (
+        grouped_distinct,
+        grouped_distinct_parquet,
+    )
+
+    path = os.path.join(sf001_dir, "events.parquet")
+    a = sorted(
+        tuple(r)
+        for r in grouped_distinct(
+            spark.read.parquet(path), "event_type", "user_id"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in grouped_distinct_parquet(
+            spark, path, "event_type", "user_id"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_parquet_direct_column_order_independent(spark, tmp_path):
     """The fold selects columns by NAME — a file whose schema stores the
     value column before the group column must still fold correctly."""

@@ -424,6 +424,31 @@ class TestSimilarity:
         assert got <= exact  # verification step ⇒ no false positives
         assert got == exact  # identical vectors: recall is deterministic
 
+    def test_cosine_lsh_candidate_fraction_guardrail(self, spark, sf001_dir):
+        """max_candidate_fraction is the bucket-storm circuit breaker: a
+        constant-embedding corpus hashes every vector into ONE bucket per
+        table, so the candidate self-join IS all-pairs and the operator must
+        refuse loudly rather than degrade to O(n²). A healthy corpus under
+        the same bound passes untouched."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from cms_topn_spark.operators import similarity
+
+        emb = spark.read.parquet(os.path.join(sf001_dir, "embeddings.parquet"))
+        degenerate = emb.limit(50).withColumn(
+            "embedding", F.array(*[F.lit(1.0) for _ in range(8)])
+        )
+        with pytest.raises(ValueError, match="bucketed-regime bound"):
+            similarity.cosine_near_dup_pairs_lsh(
+                degenerate, 0.95, max_candidate_fraction=0.5
+            )
+        # healthy corpus, same bound: measured candidate fraction ~7 %
+        out = similarity.cosine_near_dup_pairs_lsh(
+            emb, 0.95, max_candidate_fraction=0.5
+        )
+        assert out.count() == 0  # no natural pairs above 0.95 at sf0.001
+
 
 class TestCuratePipeline:
     def test_curate_matches_oracle_and_composition(self, docs, con):
