@@ -654,6 +654,26 @@ def q_grouped_kll_quantiles_direct(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_grouped_kll_quantiles_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The direct ingest's PREDICATE PUSHDOWN under the gate — the answer to
+    its one documented trade-off (bypassing Catalyst's scan pushdown):
+    per-user value quartiles over only the 'click' events, with the
+    (column, op, literal) filter pushed into the scan in two layers — the
+    driver prunes splits whose row-group statistics prove no match (the
+    lakehouse-manifest analogue; pruning is pytest-asserted on sorted
+    multi-row-group files) and each task applies the residual mask columnar-
+    side with Arrow compute before the fold sees a batch. SQL-WHERE NULL
+    semantics; the filter column is read for the mask and dropped before the
+    fold. Exact regime as grouped_kll_quantiles ⇒ bitwise quantile_cont
+    oracle with the same WHERE."""
+    from cms_topn_spark.operators.grouped import grouped_quantiles_parquet
+
+    return grouped_quantiles_parquet(
+        spark, os.path.join(sf_dir, "events.parquet"), "user_id", "value",
+        k=4096, filters=[("event_type", "==", "click")],
+    )
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship one-scan multi-sketch shape UNDER the oracle gate
     (plans/profile.py): a single pass over documents builds token CMS top-n
@@ -1021,6 +1041,7 @@ _ORDER: dict[str, str] = {
     "grouped_topn": "event_type, frequency DESC, item",
     "grouped_kll_quantiles": "user_id",
     "grouped_kll_quantiles_direct": "user_id",
+    "grouped_kll_quantiles_filtered": "user_id",
     "grouped_user_days": "user_id",
     "ann_lsh_planted_topk": "query_id, rank",
     "ann_ivf_planted_topk": "query_id, rank",
@@ -1111,12 +1132,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness harness records the first ~50 entries
     # per round, so entries without a prior-round record go FIRST (round 6:
-    # the four r5 tail queries plus the new planted-LSH gate), and the slots
-    # they displace rotate to the tail — each tail entry has a recorded
-    # near-twin this round (jaccard_pairs→jaccard_pairs_pruned,
+    # the four r5 tail queries plus the new planted-LSH and pushdown gates),
+    # and the slots they displace rotate to the tail — each tail entry has a
+    # recorded near-twin this round (jaccard_pairs→jaccard_pairs_pruned,
     # lang_id→lang_id_ngram, ann_lsh_topk→ann_brute/ann_lsh_planted,
-    # ann_ivf_topk→ann_ivf_planted, corpus_profile→corpus_profile_direct
-    # which shares the identical oracle SQL) and rotates back next round.
+    # ann_ivf_topk→ann_ivf_planted, simhash_docs→simhash_near_pairs,
+    # corpus_profile→corpus_profile_direct which shares the identical
+    # oracle SQL) and rotates back next round.
     return {
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
         "cosine_lsh_planted_pairs": q_cosine_lsh_planted_pairs,
@@ -1141,6 +1163,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topn": q_grouped_topn,
         "grouped_kll_quantiles": q_grouped_kll_quantiles,
         "grouped_kll_quantiles_direct": q_grouped_kll_quantiles_direct,
+        "grouped_kll_quantiles_filtered": q_grouped_kll_quantiles_filtered,
         "grouped_user_days": q_grouped_user_days,
         "ann_lsh_planted_topk": q_ann_lsh_planted_topk,
         "ann_ivf_planted_topk": q_ann_ivf_planted_topk,
@@ -1165,10 +1188,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dup_clusters": q_dup_clusters,
-        "simhash_docs": q_simhash_docs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_brute_topk": q_ann_brute_topk,
-        # ---- rotation tail (see the ordering comment above) ----
+        # ---- rotation tail (see the ordering comment above; simhash_docs'
+        # recorded twin is simhash_near_pairs, which consumes its output) ----
+        "simhash_docs": q_simhash_docs,
         "jaccard_pairs": q_jaccard_pairs,
         "lang_id": q_lang_id,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1292,6 +1316,14 @@ def _raw_oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.5)  AS q50,
                    quantile_cont(value, 0.75) AS q75
             FROM events GROUP BY user_id
+        """,
+        # the pushed-down filter is the ONLY difference from the direct form
+        "grouped_kll_quantiles_filtered": """
+            SELECT user_id,
+                   quantile_cont(value, 0.25) AS q25,
+                   quantile_cont(value, 0.5)  AS q50,
+                   quantile_cont(value, 0.75) AS q75
+            FROM events WHERE event_type = 'click' GROUP BY user_id
         """,
         "grouped_user_days": """
             SELECT user_id,

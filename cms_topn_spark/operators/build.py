@@ -212,18 +212,22 @@ def build_partials_parquet(
     files: list[str] | None = None,
     split_row_groups: bool = False,
     splits: list[tuple[str, int]] | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """:func:`build_partials` over a parquet path via the COLUMNAR-DIRECT
     ingest (sources/parquet_direct.py): one task per file, pyarrow reads the
     pruned columns in the worker, and the batches never cross Spark's
     columnar→row→Arrow pivot — the transfer whose JVM CPU anti-scales with
     task threads (measured in BENCH/BASELINE.md §2b). Same states frame,
-    same merge machinery."""
+    same merge machinery. ``filters`` push (column, op, literal) conjuncts
+    into the scan: statistics-pruned splits plus a columnar residual mask
+    (see parquet_direct.map_parquet_batches)."""
     from ..sources.parquet_direct import map_parquet_batches
 
     return map_parquet_batches(
         spark, path, columns, _partials_fold(factory, ingest), STATE_SCHEMA,
         files=files, split_row_groups=split_row_groups, splits=splits,
+        filters=filters,
     )
 
 
@@ -308,17 +312,19 @@ def sketch_agg_parquet(
     fanin: int = 16,
     direct_collect_limit: int = 64,
     split_row_groups: bool = False,
+    filters: list[tuple] | None = None,
 ):
     """:func:`sketch_agg` over a parquet path via the columnar-direct ingest
     (one partial per FILE, or per row-group with ``split_row_groups`` — the
     giant-file remedy; see :func:`build_partials_parquet`). The split list
     is computed ONCE (one listing, one footer pass) and both sizes the merge
-    strategy and feeds the task mapping."""
+    strategy and feeds the task mapping; ``filters`` prune that list by
+    row-group statistics before it sizes anything."""
     from ..sources.parquet_direct import parquet_splits
 
-    splits = parquet_splits(path, split_row_groups=split_row_groups)
+    splits = parquet_splits(path, split_row_groups=split_row_groups, filters=filters)
     states = build_partials_parquet(
-        spark, path, columns, factory, ingest, splits=splits
+        spark, path, columns, factory, ingest, splits=splits, filters=filters
     )
     return _collect_states(states, len(splits), fanin, direct_collect_limit)
 

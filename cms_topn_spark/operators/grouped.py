@@ -7,7 +7,10 @@ operator is the scale form, the same shape as the global build:
   stage 1 (map-side, shuffle-free): each task partitions its Arrow batches by
       key with one C++ sort, folds every key-slice into that key's sketch,
       and emits (group, state) — one row per (task, group-in-task);
-  stage 2: groupBy(group) over *sketch-sized* rows, applyInPandas merge.
+  stage 2: groupBy(group) over *sketch-sized* rows, applyInPandas merge —
+      fused with the statistic readout for the quantile/top-n/distinct
+      forms, so the merged state never crosses back to the JVM (the states
+      API keeps the unfused merge for probe-style consumers).
 
 The shuffle therefore moves |groups-per-partition| · |state| bytes instead of
 the raw rows — the count-min analogue of a map-side combine. Skewed groups
@@ -154,6 +157,40 @@ def _merge_states(states: DataFrame, group_col: str, gtype: str) -> DataFrame:
     )
 
 
+def _merge_readout(
+    partials: DataFrame,
+    group_col: str,
+    gtype: str,
+    readout: Callable[[object], dict],
+    out_schema: str,
+) -> DataFrame:
+    """Merge each group's partial states AND read the final statistics out
+    in the SAME Python eval. The two-step form (applyInPandas merge →
+    mapInPandas readout) ships every merged state Python→JVM→Arrow→Python
+    between the two evals — at KLL k=4096 over 1,500 groups that is
+    ~100 MB of Arrow traffic whose only purpose is plumbing, and for the
+    top-n readout it previously cost a SECOND shuffle (the merged frame was
+    re-grouped for the explode). Here partials go in once, scalars come
+    out, and the merged state dies inside the worker.
+
+    ``readout`` maps a deserialized sketch to column → list-of-values (one
+    list entry per output row for that group; statistics readouts return
+    length-1 lists, explodes return one entry per retained item)."""
+    from ..core.base import sketch_from_bytes
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for st in pdf["state"]:
+            acc = merge_serialized(acc, bytes(st))
+        cols = readout(sketch_from_bytes(acc))
+        n = len(next(iter(cols.values())))
+        return pd.DataFrame({group_col: [pdf[group_col].iloc[0]] * n, **cols})
+
+    return partials.groupBy(group_col).applyInPandas(
+        fn, f"{group_col} {gtype}, {out_schema}"
+    )
+
+
 def grouped_sketch_states(
     df: DataFrame,
     group_col: str,
@@ -175,13 +212,29 @@ def grouped_sketch_states(
     float64-coerce an int key column inside the Arrow kernel (NaN for the
     null), breaking the declared schema — and silently corrupting int keys
     above 2^53 in the same window."""
+    states, gtype = _partial_states(df, group_col, value_col, factory, ingest)
+    return _merge_states(states, group_col, gtype)
+
+
+def _partial_states(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    factory: Callable[[], object],
+    ingest: Callable[[object, pa.Array], None] = _packed_slice_ingest,
+) -> tuple[DataFrame, str]:
+    """Stage 1 only: the shuffle-free per-(task, group) partial states (and
+    the group type) — the input both the states API and the fused
+    merge-readouts consume."""
     gtype = dict(df.dtypes)[group_col]
     df = df.where(F.col(group_col).isNotNull())
     partials = _state_fold(group_col, value_col, factory, ingest)
-    states = df.select(group_col, value_col).mapInArrow(
-        partials, f"{group_col} {gtype}, state binary"
+    return (
+        df.select(group_col, value_col).mapInArrow(
+            partials, f"{group_col} {gtype}, state binary"
+        ),
+        gtype,
     )
-    return _merge_states(states, group_col, gtype)
 
 
 def grouped_sketch_states_parquet(
@@ -193,6 +246,7 @@ def grouped_sketch_states_parquet(
     ingest: Callable[[object, pa.Array], None] = _packed_slice_ingest,
     gtype: str | None = None,
     split_row_groups: bool = False,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """:func:`grouped_sketch_states` over a parquet path via the
     COLUMNAR-DIRECT ingest (sources/parquet_direct.py): each task reads its
@@ -200,20 +254,42 @@ def grouped_sketch_states_parquet(
     row → Arrow double pivot — measured on this box the pivot costs ~8× the
     scan itself in JVM CPU and its per-thread throughput drops ~2.6× at 8
     task threads, which capped this operator's N→4N scaling at ~0.44 while
-    the fold itself scaled cleanly. Same states, same merge, same oracle;
-    the trade (no Catalyst pushdown into the scan) is documented in the
-    source module."""
+    the fold itself scaled cleanly. Same states, same merge, same oracle.
+    ``filters`` are the direct source's pushdown layer (statistics-pruned
+    splits + columnar residual mask — see the source module)."""
+    states, gtype = _partial_states_parquet(
+        spark, path, group_col, value_col, factory, ingest, gtype,
+        split_row_groups, filters,
+    )
+    return _merge_states(states, group_col, gtype)
+
+
+def _partial_states_parquet(
+    spark,
+    path: str,
+    group_col: str,
+    value_col: str,
+    factory: Callable[[], object],
+    ingest: Callable[[object, pa.Array], None] = _packed_slice_ingest,
+    gtype: str | None = None,
+    split_row_groups: bool = False,
+    filters: list[tuple] | None = None,
+) -> tuple[DataFrame, str]:
+    """Stage 1 of the columnar-direct form (see
+    :func:`grouped_sketch_states_parquet` for the trade-offs)."""
     from ..sources.parquet_direct import map_parquet_batches, spark_type_of
 
     if gtype is None:
         gtype = spark_type_of(path, group_col)
     partials = _state_fold(group_col, value_col, factory, ingest, drop_null_keys=True)
-    states = map_parquet_batches(
-        spark, path, [group_col, value_col], partials,
-        f"{group_col} {gtype}, state binary",
-        split_row_groups=split_row_groups,
+    return (
+        map_parquet_batches(
+            spark, path, [group_col, value_col], partials,
+            f"{group_col} {gtype}, state binary",
+            split_row_groups=split_row_groups, filters=filters,
+        ),
+        gtype,
     )
-    return _merge_states(states, group_col, gtype)
 
 
 def grouped_probe(
@@ -261,10 +337,8 @@ def grouped_topn(
     binary kept), so no driver action is needed. Only types the item
     encoding itself cannot represent (encoding.py raises for composites)
     are outside this table; nothing silently degrades to ``str(item)``."""
-    from ..core.base import sketch_from_bytes
     from ..core.cms_topn import CmsTopn
 
-    gtype = dict(df.dtypes)[group_col]
     vtype = dict(df.dtypes)[value_col]
     item_type = _ITEM_TYPES.get(vtype)
     if item_type is None:
@@ -273,36 +347,23 @@ def grouped_topn(
             f"encoding (supported: {sorted(_ITEM_TYPES)})"
         )
 
-    states = grouped_sketch_states(
+    partials, gtype = _partial_states(
         df, group_col, value_col, lambda: CmsTopn(n, e, p, update="linear")
     )
-    return _topn_readout(states, group_col, gtype, item_type)
-
-
-def _topn_readout(
-    states: DataFrame, group_col: str, gtype: str, item_type: str
-) -> DataFrame:
-    from ..core.base import sketch_from_bytes
-
-    def explode(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_g, out_i, out_f = [], [], []
-        for g, st in zip(pdf[group_col], pdf["state"]):
-            sk = sketch_from_bytes(bytes(st))
-            for item, freq in sk.topn_list():
-                out_g.append(g)
-                out_i.append(item)
-                out_f.append(freq)
-        return pd.DataFrame(
-            {
-                group_col: out_g,
-                "item": pd.Series(out_i, dtype=object),
-                "frequency": out_f,
-            }
-        )
-
-    return states.groupBy(group_col).applyInPandas(
-        explode, f"{group_col} {gtype}, item {item_type}, frequency long"
+    return _merge_readout(
+        partials, group_col, gtype, _topn_cols, f"item {item_type}, frequency long"
     )
+
+
+def _topn_cols(sk) -> dict:
+    items, freqs = [], []
+    for item, freq in sk.topn_list():
+        items.append(item)
+        freqs.append(freq)
+    return {
+        "item": pd.Series(items, dtype=object),
+        "frequency": pd.Series(freqs, dtype="int64"),
+    }
 
 
 def grouped_topn_parquet(
@@ -334,12 +395,14 @@ def grouped_topn_parquet(
             f"grouped_topn value column type {vtype!r} has no sketch item "
             f"encoding (supported: {sorted(_ITEM_TYPES)})"
         )
-    states = grouped_sketch_states_parquet(
+    partials, gtype = _partial_states_parquet(
         spark, path, group_col, value_col,
         lambda: CmsTopn(n, e, p, update="linear"), gtype=gtype,
         split_row_groups=split_row_groups,
     )
-    return _topn_readout(states, group_col, gtype, item_type)
+    return _merge_readout(
+        partials, group_col, gtype, _topn_cols, f"item {item_type}, frequency long"
+    )
 
 
 def grouped_quantiles(
@@ -366,34 +429,21 @@ def grouped_quantiles(
 
     if len(qs) != len(q_names):
         raise ValueError("qs and q_names must have the same length")
-    gtype = dict(df.dtypes)[group_col]
-    states = grouped_sketch_states(
+    partials, gtype = _partial_states(
         df, group_col, value_col, lambda: KllSketch(k), ingest=numeric_slice_ingest
     )
-    return _quantiles_readout(states, group_col, gtype, qs, q_names)
+    return _merge_readout(
+        partials, group_col, gtype, _quantile_cols(qs, q_names),
+        ", ".join(f"{n} double" for n in q_names),
+    )
 
 
-def _quantiles_readout(
-    states: DataFrame, group_col: str, gtype: str, qs: tuple, q_names: tuple
-) -> DataFrame:
-    from ..core.base import sketch_from_bytes
+def _quantile_cols(qs: tuple, q_names: tuple) -> Callable[[object], dict]:
+    def readout(sk) -> dict:
+        vals = sk.quantiles(qs)
+        return {n: [v] for n, v in zip(q_names, vals)}
 
-    schema = f"{group_col} {gtype}, " + ", ".join(f"{n} double" for n in q_names)
-
-    def read_quantiles(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdfs:
-            out: dict = {group_col: []}
-            for n in q_names:
-                out[n] = []
-            for g, st in zip(pdf[group_col], pdf["state"]):
-                sk = sketch_from_bytes(bytes(st))
-                vals = sk.quantiles(qs)
-                out[group_col].append(g)
-                for n, v in zip(q_names, vals):
-                    out[n].append(v)
-            yield pd.DataFrame(out)
-
-    return states.mapInPandas(read_quantiles, schema)
+    return readout
 
 
 def grouped_quantiles_parquet(
@@ -405,6 +455,7 @@ def grouped_quantiles_parquet(
     q_names: tuple = ("q25", "q50", "q75"),
     k: int = 200,
     split_row_groups: bool = False,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """:func:`grouped_quantiles` over a parquet path via the columnar-direct
     ingest — identical semantics and oracle (same fold, same states-only
@@ -412,19 +463,23 @@ def grouped_quantiles_parquet(
     columnar-to-columnar instead of through Spark's row pivot, which is
     this operator's dominant cost and scaling cap on wide parallelism (see
     :func:`grouped_sketch_states_parquet` for the measurements).
-    ``split_row_groups`` is the giant-file remedy (one task per row group)."""
+    ``split_row_groups`` is the giant-file remedy (one task per row group);
+    ``filters`` push (column, op, literal) conjuncts into the scan —
+    statistics-pruned splits plus a columnar residual mask, the direct
+    source's answer to Catalyst pushdown."""
     from ..core.kll import KllSketch
-    from ..sources.parquet_direct import spark_type_of
 
     if len(qs) != len(q_names):
         raise ValueError("qs and q_names must have the same length")
-    gtype = spark_type_of(path, group_col)
-    states = grouped_sketch_states_parquet(
+    partials, gtype = _partial_states_parquet(
         spark, path, group_col, value_col, lambda: KllSketch(k),
-        ingest=numeric_slice_ingest, gtype=gtype,
-        split_row_groups=split_row_groups,
+        ingest=numeric_slice_ingest, split_row_groups=split_row_groups,
+        filters=filters,
     )
-    return _quantiles_readout(states, group_col, gtype, qs, q_names)
+    return _merge_readout(
+        partials, group_col, gtype, _quantile_cols(qs, q_names),
+        ", ".join(f"{n} double" for n in q_names),
+    )
 
 
 def grouped_distinct(
@@ -444,29 +499,19 @@ def grouped_distinct(
     from ..core.base import sketch_from_bytes
     from ..core.hll import HyperLogLog
 
-    gtype = dict(df.dtypes)[group_col]
-    states = grouped_sketch_states(
+    partials, gtype = _partial_states(
         df, group_col, value_col, lambda: HyperLogLog(p=p, sparse_limit=sparse_limit)
     )
-    return _distinct_readout(states, group_col, gtype, out_col)
+    return _merge_readout(
+        partials, group_col, gtype, _distinct_cols(out_col), f"{out_col} long"
+    )
 
 
-def _distinct_readout(
-    states: DataFrame, group_col: str, gtype: str, out_col: str
-) -> DataFrame:
-    from ..core.base import sketch_from_bytes
+def _distinct_cols(out_col: str) -> Callable[[object], dict]:
+    def readout(sk) -> dict:
+        return {out_col: [int(sk.estimate())]}
 
-    schema = f"{group_col} {gtype}, {out_col} long"
-
-    def readout(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdfs:
-            out_g, out_n = [], []
-            for g, st in zip(pdf[group_col], pdf["state"]):
-                out_g.append(g)
-                out_n.append(int(sketch_from_bytes(bytes(st)).estimate()))
-            yield pd.DataFrame({group_col: out_g, out_col: out_n})
-
-    return states.mapInPandas(readout, schema)
+    return readout
 
 
 def grouped_distinct_parquet(
@@ -484,12 +529,12 @@ def grouped_distinct_parquet(
     for the row-pivot measurements this path avoids and the cases where the
     JVM scan is still the right choice."""
     from ..core.hll import HyperLogLog
-    from ..sources.parquet_direct import spark_type_of
 
-    gtype = spark_type_of(path, group_col)
-    states = grouped_sketch_states_parquet(
+    partials, gtype = _partial_states_parquet(
         spark, path, group_col, value_col,
-        lambda: HyperLogLog(p=p, sparse_limit=sparse_limit), gtype=gtype,
+        lambda: HyperLogLog(p=p, sparse_limit=sparse_limit),
         split_row_groups=split_row_groups,
     )
-    return _distinct_readout(states, group_col, gtype, out_col)
+    return _merge_readout(
+        partials, group_col, gtype, _distinct_cols(out_col), f"{out_col} long"
+    )

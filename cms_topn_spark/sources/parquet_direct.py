@@ -21,12 +21,17 @@ read its own split columnar-to-columnar with pyarrow:
 
 Column pruning happens via ``columns`` (pyarrow reads only those column
 chunks); each file is one task, so the scan parallelism is the file count —
-the same unit a 100-TB Iceberg table's manifest hands out. Trade-offs,
-stated plainly: this bypasses Catalyst's scan node, so SQL predicate
-pushdown and partition pruning don't apply — use it for full-column sketch
-ingests, not filtered point queries; and a single giant file is one task
-unless ``split_row_groups=True``, which hands out one task per (file,
-row-group) — the same split unit Spark's own scan uses.
+the same unit a 100-TB Iceberg table's manifest hands out. Predicate
+pushdown happens via ``filters`` — (column, op, literal) conjuncts applied
+in two layers like a lakehouse scan: the driver prunes splits whose
+row-group statistics prove no match (pruned splits are never scheduled),
+and tasks apply the residual mask columnar-side with Arrow compute.
+Trade-offs, stated plainly: this bypasses Catalyst's scan node, so only
+these explicit tri-op conjuncts push down — no derived expressions, no
+partition-directory pruning, no join-side dynamic pruning; use the JVM scan
+when a query needs those. A single giant file is one task unless
+``split_row_groups=True``, which hands out one task per (file, row-group) —
+the same split unit Spark's own scan uses.
 
 When NOT to use it (measured, BENCH/BASELINE.md §2b): jobs whose kernel
 dwarfs the transfer and whose columns are wide strings — Spark's vectorized
@@ -94,6 +99,87 @@ def spark_type_of(path: str, column: str) -> str:
     raise TypeError(f"unmapped parquet type {t} for column {column!r}")
 
 
+# Filter conjuncts are (column, op, literal) triples, the same tri-op shape
+# pyarrow's dataset filters use; a filter list means the AND of its entries.
+# NULL comparison semantics are SQL's: a NULL never passes any conjunct.
+_FILTER_OPS = {"==", "!=", "<", "<=", ">", ">=", "in"}
+
+
+def _check_filters(filters) -> None:
+    for f in filters:
+        if len(f) != 3 or f[1] not in _FILTER_OPS:
+            raise ValueError(
+                f"bad filter conjunct {f!r}: want (column, op, literal) with "
+                f"op in {sorted(_FILTER_OPS)}"
+            )
+
+
+def _stats_may_match(stats, op, val) -> bool:
+    """False only when the row-group statistics PROVE no row matches the
+    conjunct — missing/partial stats keep the split (conservative). Parquet
+    min/max exclude NULLs, and a NULL fails every conjunct anyway, so
+    pruning on non-null bounds is exact."""
+    if stats is None or not stats.has_min_max:
+        return True
+    mn, mx = stats.min, stats.max
+    try:
+        if op == "==":
+            return not (val < mn or val > mx)
+        if op == "!=":
+            return not (mn == mx == val)
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+        if op == ">":
+            return mx > val
+        if op == ">=":
+            return mx >= val
+        if op == "in":
+            return any(not (v < mn or v > mx) for v in val)
+    except TypeError:
+        # incomparable literal vs stats types (e.g. bytes stats for a str
+        # literal on some writers) — keep the split, let the residual decide
+        return True
+    return True
+
+
+def _row_group_may_match(md, rg: int, filters) -> bool:
+    rgm = md.row_group(rg)
+    cols = {rgm.column(i).path_in_schema: i for i in range(rgm.num_columns)}
+    for col, op, val in filters:
+        i = cols.get(col)
+        if i is None:
+            continue  # nested/renamed column — no stats to prune on
+        if not _stats_may_match(rgm.column(i).statistics, op, val):
+            return False
+    return True
+
+
+def _filter_mask(rb: pa.RecordBatch, filters):
+    import pyarrow.compute as pc
+
+    mask = None
+    for col, op, val in filters:
+        c = rb.column(rb.schema.get_field_index(col))
+        if op == "==":
+            m = pc.equal(c, val)
+        elif op == "!=":
+            m = pc.not_equal(c, val)
+        elif op == "<":
+            m = pc.less(c, val)
+        elif op == "<=":
+            m = pc.less_equal(c, val)
+        elif op == ">":
+            m = pc.greater(c, val)
+        elif op == ">=":
+            m = pc.greater_equal(c, val)
+        else:  # "in"
+            m = pc.is_in(c, value_set=pa.array(list(val), c.type))
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    return mask
+
+
 def map_parquet_batches(
     spark: SparkSession,
     path: str,
@@ -103,6 +189,7 @@ def map_parquet_batches(
     files: list[str] | None = None,
     split_row_groups: bool = False,
     splits: list[tuple[str, int]] | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Run ``fold`` (a batches→batches kernel, same contract as a
     ``mapInArrow`` function) over ``columns`` of the parquet data at
@@ -121,9 +208,23 @@ def map_parquet_batches(
     scan (a parquet row group is the file's independently-readable unit,
     exactly what Spark's own scan splits on). Costs one footer read per
     file on the driver; a real lakehouse hands out the same splits from
-    the table manifest without touching footers."""
+    the table manifest without touching footers.
+
+    ``filters``: conjunctive (column, op, literal) predicates, pushed down
+    in two layers exactly like a lakehouse scan: the DRIVER prunes splits
+    whose row-group statistics prove no row can match (the manifest-pruning
+    analogue — pruned splits are never scheduled, their column chunks never
+    read), and each TASK applies the residual predicate columnar-side with
+    Arrow compute before the fold sees a batch. Filter-only columns are
+    read for the mask and dropped before the fold, so the fold's contract
+    (exactly ``columns``) is unchanged. NULL semantics are SQL WHERE's:
+    NULLs never pass."""
+    if filters:
+        _check_filters(filters)
     if splits is None:
-        splits = parquet_splits(path, files=files, split_row_groups=split_row_groups)
+        splits = parquet_splits(
+            path, files=files, split_row_groups=split_row_groups, filters=filters
+        )
     # exactly one split per partition: parallelize's deterministic list
     # slicing, NOT .repartition(n) — round-robin starts at a random offset
     # per input partition, so splits can collide into one task and leave
@@ -133,6 +234,12 @@ def map_parquet_batches(
         spark.sparkContext.parallelize(splits, len(splits)),
         "path string, row_group int",
     )
+
+    read_cols = columns
+    if filters:
+        read_cols = columns + [
+            f[0] for f in filters if f[0] not in columns
+        ]
 
     def read_and_fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -144,10 +251,30 @@ def map_parquet_batches(
                     # close each handle as its split is exhausted — a task
                     # over many splits must not hold every fd until GC
                     with pq.ParquetFile(p) as pf:
-                        kw = {} if rg < 0 else {"row_groups": [rg]}
-                        yield from pf.iter_batches(
-                            columns=columns, use_threads=False, **kw
-                        )
+                        if rg >= 0:
+                            kw = {"row_groups": [rg]}
+                        elif filters:
+                            # whole-file split: the footer is already parsed
+                            # by ParquetFile, so re-derive the matching row
+                            # groups and skip the others' column chunks
+                            mrgs = [
+                                g
+                                for g in range(pf.metadata.num_row_groups)
+                                if _row_group_may_match(pf.metadata, g, filters)
+                            ]
+                            if not mrgs:
+                                continue
+                            kw = {"row_groups": mrgs}
+                        else:
+                            kw = {}
+                        for raw in pf.iter_batches(
+                            columns=read_cols, use_threads=False, **kw
+                        ):
+                            if filters:
+                                # null mask entries = SQL three-valued FALSE
+                                raw = raw.filter(_filter_mask(raw, filters))
+                                raw = raw.select(columns)
+                            yield raw
 
         yield from fold(split_batches())
 
@@ -155,25 +282,46 @@ def map_parquet_batches(
 
 
 def parquet_splits(
-    path: str, files: list[str] | None = None, split_row_groups: bool = False
+    path: str,
+    files: list[str] | None = None,
+    split_row_groups: bool = False,
+    filters: list[tuple] | None = None,
 ) -> list[tuple[str, int]]:
     """The (file, row_group) task list — row_group = -1 means whole file.
     Computed ONCE per job: callers sizing a merge strategy pass the same
     list to :func:`map_parquet_batches`, so the footers are read a single
-    time and the strategy can never disagree with the task count."""
+    time and the strategy can never disagree with the task count.
+
+    With ``filters``, splits whose row-group statistics prove no match are
+    dropped here — the manifest-pruning layer: a pruned split is never
+    scheduled and its column chunks are never read. Without
+    ``split_row_groups`` a file is kept if ANY of its row groups may match;
+    the task then re-derives the matching groups from the footer it parses
+    anyway and reads only those. Stats-free columns/footers conservatively
+    keep their splits; correctness never depends on pruning, only on the
+    residual mask."""
     if files is None:
         files = parquet_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path!r}")
-    if not split_row_groups:
+    if filters:
+        _check_filters(filters)
+    if not split_row_groups and not filters:
         return [(f, -1) for f in files]
     import pyarrow.parquet as pq
 
-    splits = [
-        (f, rg) for f in files for rg in range(pq.read_metadata(f).num_row_groups)
-    ]
-    # footer-only files (empty datasets/partitions) have 0 row groups; fall
-    # back to whole-file tasks so the empty input yields the same
-    # empty-result semantics as split_row_groups=False instead of crashing
-    # parallelize([], 0)
-    return splits or [(f, -1) for f in files]
+    splits: list[tuple[str, int]] = []
+    for f in files:
+        md = pq.read_metadata(f)
+        rgs = range(md.num_row_groups)
+        if filters:
+            rgs = [rg for rg in rgs if _row_group_may_match(md, rg, filters)]
+        if split_row_groups:
+            splits.extend((f, rg) for rg in rgs)
+        elif rgs:
+            splits.append((f, -1))
+    # two degenerate shapes fall back to one whole-file task so callers see
+    # ordinary empty-RESULT semantics instead of a parallelize([], 0) crash:
+    # footer-only files (0 row groups) and filters that prune every split
+    # (the residual mask then drops every row of the one task)
+    return splits or [(files[0], -1)]

@@ -524,3 +524,134 @@ def test_parquet_direct_row_group_splits(spark, tmp_path):
     assert np.array_equal(a.counters, b.counters)
     assert dict(a.topn_list()) == dict(b.topn_list())
     assert a.total == b.total == 5000
+
+
+class TestParquetDirectPushdown:
+    """The direct source's two-layer predicate pushdown: driver-side
+    statistics pruning of the split list (the manifest analogue) and the
+    task-side columnar residual mask. Correctness never depends on pruning —
+    the residual mask alone is sufficient — so every test also asserts the
+    VALUES, not just the split counts."""
+
+    @staticmethod
+    def _sorted_file(tmp_path, name="sorted.parquet", n=5000, rg=1000):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / name)
+        tbl = pa.table(
+            {
+                "ts": pa.array(range(n), pa.int64()),  # sorted → tight stats
+                "v": pa.array([float(i % 100) for i in range(n)]),
+                "tag": pa.array([f"t{i % 3}" for i in range(n)]),
+            }
+        )
+        pq.write_table(tbl, p, row_group_size=rg)
+        return p
+
+    def test_stats_prune_splits_and_values(self, spark, tmp_path):
+        from cms_topn_spark.core.kll import KllSketch
+        from cms_topn_spark.operators.build import sketch_agg_parquet
+        from cms_topn_spark.operators.build import numeric_ingest
+        from cms_topn_spark.sources.parquet_direct import parquet_splits
+
+        p = self._sorted_file(tmp_path)
+        flt = [("ts", ">=", 3000)]
+        # 5 row groups of 1000 sorted rows; ts>=3000 proves groups 0-2 empty
+        assert len(parquet_splits(p, split_row_groups=True)) == 5
+        assert len(parquet_splits(p, split_row_groups=True, filters=flt)) == 2
+        sk = sketch_agg_parquet(
+            spark, p, ["v"], lambda: KllSketch(8192),
+            ingest=numeric_ingest, filters=flt, split_row_groups=True,
+        )
+        assert sk.n == 2000  # exactly the rows with ts in [3000, 5000)
+
+    def test_residual_mask_on_unpruned_groups(self, spark, tmp_path):
+        """A filter the stats can't prune (tag cycles through every row
+        group) still filters exactly, and the filter-only column never
+        reaches the fold's schema."""
+        from cms_topn_spark.core import CmsTopn
+        from cms_topn_spark.operators.build import sketch_agg_parquet
+        from cms_topn_spark.sources.parquet_direct import parquet_splits
+
+        p = self._sorted_file(tmp_path)
+        flt = [("tag", "==", "t1")]
+        assert len(parquet_splits(p, split_row_groups=True, filters=flt)) == 5
+        sk = sketch_agg_parquet(
+            spark, p, ["tag"], lambda: CmsTopn(5, 0.0001, 0.99, update="linear"),
+            filters=flt,
+        )
+        assert dict(sk.topn_list()) == {"t1": 1667}  # residue 1 of 5000 rows
+        sk2 = sketch_agg_parquet(
+            spark, p, ["tag"], lambda: CmsTopn(5, 0.0001, 0.99, update="linear"),
+            filters=[("ts", "<", 1500), ("tag", "in", ("t0", "t2"))],
+        )
+        # conjunction: rows 0..1499 with tag in {t0,t2} = 1500 - |t1 rows|
+        assert sum(dict(sk2.topn_list()).values()) == 1000
+
+    def test_null_semantics_sql_where(self, spark, tmp_path):
+        """NULLs never pass a conjunct — including != — matching SQL WHERE."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from cms_topn_spark.core import CmsTopn
+        from cms_topn_spark.operators.build import sketch_agg_parquet
+
+        p = str(tmp_path / "nulls.parquet")
+        pq.write_table(
+            pa.table({"k": ["a", "b", None, "a", None], "x": [1, 2, 3, 4, 5]}), p
+        )
+        sk = sketch_agg_parquet(
+            spark, p, ["x"], lambda: CmsTopn(5, update="linear"),
+            filters=[("k", "!=", "b")],
+        )
+        assert sk.total == 2  # rows x=1 and x=4; NULL k rows dropped
+
+    def test_all_pruned_falls_back_to_empty_result(self, spark, tmp_path):
+        from cms_topn_spark.core import CmsTopn
+        from cms_topn_spark.operators.build import sketch_agg_parquet
+        from cms_topn_spark.sources.parquet_direct import parquet_splits
+
+        p = self._sorted_file(tmp_path)
+        flt = [("ts", ">", 10_000_000)]
+        assert parquet_splits(p, split_row_groups=True, filters=flt) == [(p, -1)]
+        sk = sketch_agg_parquet(
+            spark, p, ["tag"], lambda: CmsTopn(5, update="linear"), filters=flt
+        )
+        assert sk is None or sk.topn_list() == []
+
+    def test_grouped_quantiles_filtered_matches_dataframe_filter(
+        self, spark, sf001_dir
+    ):
+        from pyspark.sql import functions as F
+
+        from cms_topn_spark.operators.grouped import (
+            grouped_quantiles,
+            grouped_quantiles_parquet,
+        )
+
+        path = os.path.join(sf001_dir, "events.parquet")
+        a = sorted(
+            tuple(r)
+            for r in grouped_quantiles(
+                spark.read.parquet(path).where(F.col("event_type") == "click"),
+                "user_id", "value", k=4096,
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in grouped_quantiles_parquet(
+                spark, path, "user_id", "value", k=4096,
+                filters=[("event_type", "==", "click")],
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_bad_filter_rejected(self, tmp_path):
+        import pytest
+
+        from cms_topn_spark.sources.parquet_direct import parquet_splits
+
+        p = self._sorted_file(tmp_path)
+        with pytest.raises(ValueError, match="bad filter conjunct"):
+            parquet_splits(p, filters=[("ts", "~", 3)])
