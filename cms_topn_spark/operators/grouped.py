@@ -375,6 +375,7 @@ def grouped_topn_parquet(
     e: float = 0.001,
     p: float = 0.99,
     split_row_groups: bool = False,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """:func:`grouped_topn` over a parquet path via the columnar-direct
     ingest — identical semantics (same fold, same states-only exchange,
@@ -383,12 +384,12 @@ def grouped_topn_parquet(
     through Spark's row pivot (see :func:`grouped_sketch_states_parquet`
     for the measurements and when NOT to prefer this path). The item type
     comes from the parquet footer the same way the DataFrame form reads it
-    from the Spark schema."""
+    from the Spark schema; ``filters`` are the source's pushdown layer."""
     from ..core.cms_topn import CmsTopn
-    from ..sources.parquet_direct import spark_type_of
+    from ..sources.parquet_direct import spark_types_of
 
-    gtype = spark_type_of(path, group_col)
-    vtype = spark_type_of(path, value_col)
+    types = spark_types_of(path, [group_col, value_col])
+    gtype, vtype = types[group_col], types[value_col]
     item_type = _ITEM_TYPES.get(vtype)
     if item_type is None:
         raise TypeError(
@@ -398,7 +399,7 @@ def grouped_topn_parquet(
     partials, gtype = _partial_states_parquet(
         spark, path, group_col, value_col,
         lambda: CmsTopn(n, e, p, update="linear"), gtype=gtype,
-        split_row_groups=split_row_groups,
+        split_row_groups=split_row_groups, filters=filters,
     )
     return _merge_readout(
         partials, group_col, gtype, _topn_cols, f"item {item_type}, frequency long"
@@ -424,7 +425,6 @@ def grouped_quantiles(
     In the exact regime (per-group n below the compaction threshold for
     ``k``) each quantile equals DuckDB/PostgreSQL ``quantile_cont`` bitwise;
     beyond it the KLL rank-error bound applies per group."""
-    from ..core.base import sketch_from_bytes
     from ..core.kll import KllSketch
 
     if len(qs) != len(q_names):
@@ -492,11 +492,10 @@ def grouped_distinct(
 ) -> DataFrame:
     """Per-group distinct counts at ANY group cardinality — HLL states built
     map-side and merged through the same states-only exchange as the CMS/KLL
-    grouped forms; the readout runs distributed (mapInPandas), so no state
-    reaches the driver. Exact while each group's distinct count stays within
+    grouped forms; the readout runs fused into the distributed merge, so no
+    state reaches the driver. Exact while each group's distinct count stays within
     the sparse-exact regime (``sparse_limit``); beyond it the standard HLL
     error bound (~1.04/√2^p) applies per group."""
-    from ..core.base import sketch_from_bytes
     from ..core.hll import HyperLogLog
 
     partials, gtype = _partial_states(
@@ -523,17 +522,19 @@ def grouped_distinct_parquet(
     sparse_limit: int | None = 1 << 22,
     out_col: str = "distinct_values",
     split_row_groups: bool = False,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """:func:`grouped_distinct` over a parquet path via the columnar-direct
     ingest — identical semantics; see :func:`grouped_sketch_states_parquet`
     for the row-pivot measurements this path avoids and the cases where the
-    JVM scan is still the right choice."""
+    JVM scan is still the right choice. ``filters`` are the source's
+    pushdown layer."""
     from ..core.hll import HyperLogLog
 
     partials, gtype = _partial_states_parquet(
         spark, path, group_col, value_col,
         lambda: HyperLogLog(p=p, sparse_limit=sparse_limit),
-        split_row_groups=split_row_groups,
+        split_row_groups=split_row_groups, filters=filters,
     )
     return _merge_readout(
         partials, group_col, gtype, _distinct_cols(out_col), f"{out_col} long"

@@ -426,6 +426,13 @@ def cosine_near_dup_pairs_lsh(
         .select("a_id", "b_id")
     )
     if not materialize:
+        # nothing may stay persisted past return on the lazy path (the
+        # caller has no handle to unpersist) — the returned plan stays
+        # valid and recomputes signatures/candidates instead of reading
+        # the dropped caches
+        sigs.unpersist()
+        if max_candidate_fraction is not None:
+            cand.unpersist()
         return lazy
     out = lazy.localCheckpoint(eager=True)
     sigs.unpersist()

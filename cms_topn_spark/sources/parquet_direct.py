@@ -73,15 +73,24 @@ def parquet_files(path: str) -> list[str]:
 
 
 def spark_type_of(path: str, column: str) -> str:
-    """Spark SQL type string of a parquet column (one footer read; callers
-    that need it for several schemas should read it once and pass it down)."""
+    """Spark SQL type string of a parquet column (one listing + one footer
+    read; callers needing several columns use :func:`spark_types_of`)."""
+    return spark_types_of(path, [column])[column]
+
+
+def spark_types_of(path: str, columns: list[str]) -> dict[str, str]:
+    """Spark SQL type strings for several parquet columns from ONE listing
+    and ONE footer read."""
     import pyarrow.parquet as pq
 
     files = parquet_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path!r}")
-    field = pq.read_schema(files[0]).field(column)
-    t = field.type
+    schema = pq.read_schema(files[0])
+    return {c: _spark_type(schema.field(c).type, c) for c in columns}
+
+
+def _spark_type(t: pa.DataType, column: str) -> str:
     if pa.types.is_int8(t) or pa.types.is_int16(t) or pa.types.is_int32(t):
         return "int"
     if pa.types.is_int64(t):
@@ -112,6 +121,20 @@ def _check_filters(filters) -> None:
                 f"bad filter conjunct {f!r}: want (column, op, literal) with "
                 f"op in {sorted(_FILTER_OPS)}"
             )
+        if f[1] == "in":
+            # a bare string would iterate per-CHARACTER (silently empty
+            # results); a None element would make pc.is_in pass NULL rows,
+            # violating the documented SQL NULL semantics — reject both
+            if isinstance(f[2], (str, bytes)) or not hasattr(f[2], "__iter__"):
+                raise ValueError(
+                    f"bad filter conjunct {f!r}: 'in' wants a non-string "
+                    "iterable of literals"
+                )
+            if any(v is None for v in f[2]):
+                raise ValueError(
+                    f"bad filter conjunct {f!r}: None inside 'in' would pass "
+                    "NULL rows; filter NULLs explicitly if you mean that"
+                )
 
 
 def _stats_may_match(stats, op, val) -> bool:

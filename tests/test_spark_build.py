@@ -655,3 +655,9 @@ class TestParquetDirectPushdown:
         p = self._sorted_file(tmp_path)
         with pytest.raises(ValueError, match="bad filter conjunct"):
             parquet_splits(p, filters=[("ts", "~", 3)])
+        # a bare string would iterate per-character (silently empty result)
+        with pytest.raises(ValueError, match="non-string iterable"):
+            parquet_splits(p, filters=[("tag", "in", "t1")])
+        # None inside 'in' would pass NULL rows through pc.is_in
+        with pytest.raises(ValueError, match="None inside 'in'"):
+            parquet_splits(p, filters=[("tag", "in", ("t1", None))])
