@@ -28,8 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # cwd-independen
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cms_topn_spark.core import CmsTopn, HyperLogLog, TDigest
-from cms_topn_spark.core import encoding as enc
+from cms_topn_spark.core import CmsTopn, TDigest
 from cms_topn_spark.functions.sketch_api import (
     bloom_add_agg,
     bloom_contains_udf,
@@ -43,7 +42,6 @@ from cms_topn_spark.functions.sketch_api import (
 )
 from cms_topn_spark.operators import dedup, similarity, textops
 from cms_topn_spark.operators.build import build_partials
-from cms_topn_spark.operators.groupwise import groupwise_estimate
 
 
 _PYFILES_SESSIONS: set = set()
@@ -115,15 +113,24 @@ def q_hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return groupwise_estimate(
+    """Per-type distinct users through the two-level scale form
+    (operators/grouped.py grouped_distinct) rather than
+    groupwise_estimate's whole-rows-to-one-task shuffle: with only a
+    handful of event types the groupwise form caps parallelism at the
+    group count AND exchanges every raw row; the grouped form folds HLL
+    states shuffle-free at scan parallelism and exchanges states only.
+    Identical estimates — HLL union (sparse-exact sets / dense register
+    max) is order-independent, and the packed int64 ingest applies the
+    same item encoding (§2.1 #10) as the driver-level hll_add_agg."""
+    from cms_topn_spark.operators.grouped import grouped_distinct
+
+    return grouped_distinct(
         _t(spark, sf_dir, "events"),
         "event_type",
         "user_id",
-        lambda: HyperLogLog(p=14, sparse_limit=1 << 22),
-        lambda sk: int(sk.estimate()),
-        "distinct_users",
-        "long",
-        type_tag=enc.TYPE_INT64,
+        p=14,
+        sparse_limit=1 << 22,
+        out_col="distinct_users",
     )
 
 
@@ -155,7 +162,18 @@ def q_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tdigest_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return groupwise_estimate(
+    """Per-type t-digest median through the two-level scale form
+    (operators/grouped.py grouped_estimate): stage 1 folds per-(task, group)
+    digests shuffle-free, stage 2 exchanges DIGEST STATES (not rows) and
+    reads the median out fused. The prior groupwise form shuffled all rows
+    of each of the 5 event types to a single task — a parallelism-5 ceiling
+    and this query's r5 noise sensitivity. In the exact regime (delta ≥ πN
+    ⇒ every centroid a singleton) the merged digest holds the identical
+    sorted value multiset whatever the merge order, so quantile(0.5) is
+    bitwise quantile_cont and partitioning-invariant."""
+    from cms_topn_spark.operators.grouped import grouped_estimate, numeric_slice_ingest
+
+    return grouped_estimate(
         _t(spark, sf_dir, "events"),
         "event_type",
         "value",
@@ -163,6 +181,7 @@ def q_tdigest_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda sk: sk.quantile(0.5),
         "median_value",
         "double",
+        ingest=numeric_slice_ingest,
     )
 
 

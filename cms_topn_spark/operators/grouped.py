@@ -482,6 +482,63 @@ def grouped_quantiles_parquet(
     )
 
 
+def grouped_estimate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    factory: Callable[[], object],
+    estimator: Callable[[object], object],
+    out_field: str,
+    out_type: str,
+    ingest: Callable[[object, pa.Array], None] = _packed_slice_ingest,
+) -> DataFrame:
+    """Two-level scale form of ``groupwise.groupwise_estimate``: one row
+    (group, estimate) per group for ANY mergeable sketch, built through the
+    same per-(task, group) partial-state fold + states-only exchange + fused
+    merge-readout as the typed grouped forms. ``groupwise_estimate`` shuffles
+    each group's RAW ROWS to one task — with few groups that is both a full
+    row exchange and a parallelism cap equal to the group count; here stage 1
+    folds shuffle-free at scan parallelism and only sketch states move.
+
+    The estimate equals the single-sketch build wherever the sketch's merge
+    is order-independent (HLL set/register union, KLL in the exact regime,
+    t-digest with ``delta ≥ πN`` — singleton centroids survive any merge
+    order), which is exactly the regime the correctness gates run in."""
+    partials, gtype = _partial_states(df, group_col, value_col, factory, ingest)
+    return _merge_readout(
+        partials, group_col, gtype,
+        lambda sk: {out_field: [estimator(sk)]}, f"{out_field} {out_type}",
+    )
+
+
+def grouped_estimate_parquet(
+    spark,
+    path: str,
+    group_col: str,
+    value_col: str,
+    factory: Callable[[], object],
+    estimator: Callable[[object], object],
+    out_field: str,
+    out_type: str,
+    ingest: Callable[[object, pa.Array], None] = _packed_slice_ingest,
+    split_row_groups: bool = False,
+    filters: list[tuple] | None = None,
+) -> DataFrame:
+    """:func:`grouped_estimate` over a parquet path via the columnar-direct
+    ingest — same fold, same states-only exchange, same fused readout; see
+    :func:`grouped_sketch_states_parquet` for the row-pivot measurements and
+    when the JVM scan is still the right choice. ``filters`` are the direct
+    source's pushdown layer."""
+    partials, gtype = _partial_states_parquet(
+        spark, path, group_col, value_col, factory, ingest,
+        split_row_groups=split_row_groups, filters=filters,
+    )
+    return _merge_readout(
+        partials, group_col, gtype,
+        lambda sk: {out_field: [estimator(sk)]}, f"{out_field} {out_type}",
+    )
+
+
 def grouped_distinct(
     df: DataFrame,
     group_col: str,

@@ -474,3 +474,76 @@ def test_grouped_topn_partitioning_invariant_on_margined_items(spark, sf001_dir)
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_grouped_estimate_tdigest_matches_groupwise_bitwise(spark, sf001_dir):
+    """The two-level grouped_estimate (per-task digests → states-only
+    exchange → fused readout) must reproduce the rows-to-one-task groupwise
+    form BITWISE in the exact regime: with delta ≥ πN every centroid stays a
+    singleton, so the merged digest holds the identical sorted value multiset
+    whatever the partial split — the property q_tdigest_median_by_type's
+    oracle (quantile_cont) relies on."""
+    from cms_topn_spark.core import TDigest
+    from cms_topn_spark.operators.grouped import grouped_estimate, numeric_slice_ingest
+    from cms_topn_spark.operators.groupwise import groupwise_estimate
+
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    args = (
+        "event_type",
+        "value",
+        lambda: TDigest(delta=1e7),
+        lambda sk: sk.quantile(0.5),
+        "median_value",
+        "double",
+    )
+    two_level = {
+        r["event_type"]: r["median_value"]
+        for r in grouped_estimate(events, *args, ingest=numeric_slice_ingest).collect()
+    }
+    one_task = {
+        r["event_type"]: r["median_value"]
+        for r in groupwise_estimate(events, *args).collect()
+    }
+    assert two_level == one_task and len(two_level) > 0
+    # and invariant under a different partitioning of the same rows
+    repart = {
+        r["event_type"]: r["median_value"]
+        for r in grouped_estimate(
+            events.repartition(13), *args, ingest=numeric_slice_ingest
+        ).collect()
+    }
+    assert repart == two_level
+
+
+def test_grouped_estimate_parquet_matches_dataframe_form(spark, sf001_dir):
+    """Columnar-direct twin of grouped_estimate: same fold, same states, same
+    readout — medians must match the DataFrame form bitwise."""
+    from cms_topn_spark.core import TDigest
+    from cms_topn_spark.operators.grouped import (
+        grouped_estimate,
+        grouped_estimate_parquet,
+        numeric_slice_ingest,
+    )
+
+    p = os.path.join(sf001_dir, "events.parquet")
+    args = (
+        "event_type",
+        "value",
+        lambda: TDigest(delta=1e7),
+        lambda sk: sk.quantile(0.5),
+        "median_value",
+        "double",
+    )
+    df_form = {
+        r["event_type"]: r["median_value"]
+        for r in grouped_estimate(
+            spark.read.parquet(p), *args, ingest=numeric_slice_ingest
+        ).collect()
+    }
+    direct = {
+        r["event_type"]: r["median_value"]
+        for r in grouped_estimate_parquet(
+            spark, p, *args, ingest=numeric_slice_ingest
+        ).collect()
+    }
+    assert direct == df_form and len(direct) > 0
