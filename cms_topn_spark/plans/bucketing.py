@@ -1,0 +1,87 @@
+"""Bucketed co-located joins: shuffle once at WRITE time, never at read time.
+
+The reference delegates all relational execution to PostgreSQL, where a
+btree-indexed equijoin never re-partitions (cms_topn's DDL leaves join
+strategy to the host — SURVEY.md §2.4 "storage/exchange"). Spark's analogue
+for repeated large-×-large equijoins is bucketing: both tables are written
+pre-hash-partitioned (and per-file sorted) on the join key, so every future
+join/aggregation on that key reads co-located buckets and elides the
+Exchange entirely — the dominant cost of a 100-TB fact-to-fact join, paid
+once at ingest instead of per query.
+
+When it matters at scale:
+
+- **Both sides big**: broadcast handles small dims; bucketing is for the
+  fact-×-fact case (events×users, docs×embeddings) where every query would
+  otherwise shuffle terabytes on the same key.
+- **Bucket count is a real knob**: it fixes read parallelism for bucketed
+  scans (one task per bucket; AQE does NOT split or coalesce bucketed
+  scans), so size buckets to executor memory at TARGET scale —
+  ~`table_bytes / 256 MB`, rounded to a power of two so a ×2 rescale can
+  coalesce pairs of buckets. Too few buckets caps parallelism; too many
+  makes small files.
+- **Sorted buckets** (`sortBy` = bucket key, one file per bucket) keep
+  each bucket file internally ordered; the Exchange elision is what is
+  guaranteed, while the local per-task Sort under SortMergeJoin may or may
+  not be elided by the reader (observed on Spark 4.1: a Sort node remains
+  even at one file per bucket — a cheap, spill-free per-bucket sort, not
+  the cluster-wide shuffle the layout removes).
+- **Same bucketing both sides**: equal bucket counts join zero-shuffle;
+  mismatched counts shuffle the smaller side only (still a win). Catalyst
+  only recognizes the layout through the catalog — `spark.table(...)`, not
+  `spark.read.parquet(...)` over the same files.
+
+Helpers here are deliberately thin: the feature is Spark's, the value is
+pinning the plan shape (tests assert the Exchange is gone and results match
+the shuffled join bitwise) and the sizing discipline above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a catalog-managed parquet table hash-bucketed (and
+    per-file sorted, by default) on ``key``. This is the once-per-ingest
+    shuffle that every later equijoin/aggregation on ``key`` skips. Use a
+    qualified ``db.table`` name to control the storage location (create the
+    database with an explicit LOCATION)."""
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    # one write-side shuffle so each bucket lands as ONE file per bucket id
+    # (repartition by the same hash expression bucketing applies): without
+    # it every write task emits a file for every bucket it touches — the
+    # tasks×buckets small-file explosion — and a bucket's sort order holds
+    # only within each fragment instead of across the whole bucket.
+    w = df.repartition(num_buckets, key).write.format("parquet").mode(mode)
+    w = w.bucketBy(num_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Equijoin two catalog tables on ``key``. If both were written with
+    :func:`write_bucketed` on ``key`` with equal bucket counts, the physical
+    plan is a zero-Exchange SortMergeJoin; callers can assert that with
+    :func:`exchange_count`."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the EXECUTED plan — the
+    metric bucketing exists to drive to zero. Counts physical shuffles only
+    (reused exchanges count once; broadcast exchanges count too, since for
+    the big-×-big case they are just as much a data movement)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange")
