@@ -328,6 +328,54 @@ def q_top_nations_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located equijoin (plans/bucketing.py, §2.4 storage/
+    exchange): orders and lineitem are written bucketBy+sortBy(orderkey)
+    into a throwaway catalog database, then per-order line counts and
+    distinct-supplier counts come from a join+groupBy on the bucket key —
+    and the function ASSERTS the physical plan has ZERO Exchange operators
+    before returning, so a layout regression fails the gate loudly rather
+    than silently re-shuffling. At 100 TB this is the repeated fact-×-fact
+    join shape: the one hash shuffle happens at write time, every later
+    join/agg on the key reads co-located buckets. The merge hint pins the
+    SortMergeJoin strategy without touching shared-session conf; integer
+    aggregates keep the oracle hash float-free. The temp database persists
+    until session end (the returned frame is collected by the caller)."""
+    import tempfile
+
+    from cms_topn_spark.plans.bucketing import (
+        bucketed_join,
+        exchange_count,
+        write_bucketed,
+    )
+
+    wh = tempfile.mkdtemp(prefix="bucket_wh_")
+    db = os.path.basename(wh)  # mkdtemp suffix keeps the identifier unique
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{wh}'")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_custkey"
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_suppkey"
+    )
+    write_bucketed(orders, f"{db}.orders_b", "k", 8)
+    write_bucketed(lineitem, f"{db}.lineitem_b", "k", 8)
+    joined = bucketed_join(
+        spark, f"{db}.orders_b", f"{db}.lineitem_b", "k", hint="merge"
+    )
+    out = joined.groupBy("k").agg(
+        F.count("*").alias("n_items"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+    n_exchanges = exchange_count(out)
+    if n_exchanges != 0:
+        raise AssertionError(
+            f"bucketed join+agg plan has {n_exchanges} Exchange(s); the "
+            f"co-located layout was not recognized"
+        )
+    return out
+
+
 # ------------------------------------------------- text / dedup / vectors
 
 
@@ -1042,6 +1090,7 @@ def q_curate_corpus(spark, sf_dir):
 # operators), and the gate can never flap on row order.
 
 _ORDER: dict[str, str] = {
+    "bucketed_orders_join": "k",
     "cms_topn_event_types": "frequency DESC, item",
     "cms_topn_doc_tokens": "frequency DESC, item",
     "cms_topn_frequency_probe": "user_id",
@@ -1151,14 +1200,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness harness records the first ~50 entries
     # per round, so entries without a prior-round record go FIRST (round 6:
-    # the four r5 tail queries plus the new planted-LSH and pushdown gates),
-    # and the slots they displace rotate to the tail — each tail entry has a
-    # recorded near-twin this round (jaccard_pairs→jaccard_pairs_pruned,
-    # lang_id→lang_id_ngram, ann_lsh_topk→ann_brute/ann_lsh_planted,
-    # ann_ivf_topk→ann_ivf_planted, simhash_docs→simhash_near_pairs,
-    # corpus_profile→corpus_profile_direct which shares the identical
-    # oracle SQL) and rotates back next round.
+    # the four r5 tail queries, the new planted-LSH / pushdown gates, and
+    # the bucketed-join gate), and the slots they displace rotate to the
+    # tail — each tail entry has a recorded near-twin this round
+    # (jaccard_pairs→jaccard_pairs_pruned, lang_id→lang_id_ngram,
+    # ann_lsh_topk→ann_brute/ann_lsh_planted, ann_ivf_topk→ann_ivf_planted,
+    # simhash_docs→simhash_near_pairs, corpus_profile→corpus_profile_direct
+    # which shares the identical oracle SQL) and rotates back next round.
+    # ann_brute_topk now sits at position 51 (recorded through r5; its
+    # planted twins stay recorded) — rotate it back with the tail in r7.
     return {
+        "bucketed_orders_join": q_bucketed_orders_join,
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
         "cosine_lsh_planted_pairs": q_cosine_lsh_planted_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1227,6 +1279,12 @@ def oracle_sql() -> dict[str, str]:
 def _raw_oracle_sql() -> dict[str, str]:
     jaccard = dedup.jaccard_pairs_sql("documents", 0.8)
     sql = {
+        "bucketed_orders_join": """
+            SELECT o_orderkey AS k, count(*)::BIGINT AS n_items,
+                   count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
         "cms_topn_event_types": """
             SELECT event_type AS item, count(*)::BIGINT AS frequency
             FROM events GROUP BY event_type ORDER BY frequency DESC LIMIT 5

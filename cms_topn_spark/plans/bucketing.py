@@ -69,13 +69,24 @@ def write_bucketed(
 
 
 def bucketed_join(
-    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    key: str,
+    how: str = "inner",
+    hint: str | None = None,
 ) -> DataFrame:
     """Equijoin two catalog tables on ``key``. If both were written with
     :func:`write_bucketed` on ``key`` with equal bucket counts, the physical
     plan is a zero-Exchange SortMergeJoin; callers can assert that with
-    :func:`exchange_count`."""
-    return spark.table(left_table).join(spark.table(right_table), key, how)
+    :func:`exchange_count`. ``hint`` (e.g. ``"merge"``) pins the join
+    strategy on the left side — the conf-free way to keep a small gate
+    corpus on the big-×-big plan a production table would get, instead of
+    mutating ``autoBroadcastJoinThreshold`` on a shared session."""
+    left = spark.table(left_table)
+    if hint:
+        left = left.hint(hint)
+    return left.join(spark.table(right_table), key, how)
 
 
 def exchange_count(df: DataFrame) -> int:
