@@ -66,6 +66,18 @@ def numeric_slice_ingest(sk, sl: pa.Array) -> None:
     sk.add_batch(sl.to_numpy(zero_copy_only=False).astype(np.float64))
 
 
+def auto_slice_ingest(sk, sl: pa.Array) -> None:
+    """Dispatch on the sketch's protocol, mirroring ``build.default_ingest``:
+    packed item bytes for add_packed sketches (CMS/MMS/HLL/Bloom), float64
+    batches for the numeric ones (KLL/t-digest). The safe default for the
+    generic :func:`grouped_estimate` — a t-digest factory with the packed
+    default would die executor-side with an opaque AttributeError."""
+    if hasattr(sk, "add_packed"):
+        _packed_slice_ingest(sk, sl)
+    else:
+        numeric_slice_ingest(sk, sl)
+
+
 def _state_fold(
     group_col: str,
     value_col: str,
@@ -490,7 +502,7 @@ def grouped_estimate(
     estimator: Callable[[object], object],
     out_field: str,
     out_type: str,
-    ingest: Callable[[object, pa.Array], None] = _packed_slice_ingest,
+    ingest: Callable[[object, pa.Array], None] = auto_slice_ingest,
 ) -> DataFrame:
     """Two-level scale form of ``groupwise.groupwise_estimate``: one row
     (group, estimate) per group for ANY mergeable sketch, built through the
@@ -500,10 +512,12 @@ def grouped_estimate(
     row exchange and a parallelism cap equal to the group count; here stage 1
     folds shuffle-free at scan parallelism and only sketch states move.
 
-    The estimate equals the single-sketch build wherever the sketch's merge
-    is order-independent (HLL set/register union, KLL in the exact regime,
-    t-digest with ``delta ≥ πN`` — singleton centroids survive any merge
-    order), which is exactly the regime the correctness gates run in."""
+    The default ingest dispatches on the sketch's protocol (packed items vs
+    float64 batches); pass one explicitly to pin it. The estimate equals the
+    single-sketch build wherever the sketch's merge is order-independent
+    (HLL set/register union, KLL in the exact regime, t-digest with
+    ``delta ≥ πN`` — singleton centroids survive any merge order), which is
+    exactly the regime the correctness gates run in."""
     partials, gtype = _partial_states(df, group_col, value_col, factory, ingest)
     return _merge_readout(
         partials, group_col, gtype,
@@ -520,7 +534,8 @@ def grouped_estimate_parquet(
     estimator: Callable[[object], object],
     out_field: str,
     out_type: str,
-    ingest: Callable[[object, pa.Array], None] = _packed_slice_ingest,
+    ingest: Callable[[object, pa.Array], None] = auto_slice_ingest,
+    gtype: str | None = None,
     split_row_groups: bool = False,
     filters: list[tuple] | None = None,
 ) -> DataFrame:
@@ -528,9 +543,10 @@ def grouped_estimate_parquet(
     ingest — same fold, same states-only exchange, same fused readout; see
     :func:`grouped_sketch_states_parquet` for the row-pivot measurements and
     when the JVM scan is still the right choice. ``filters`` are the direct
-    source's pushdown layer."""
+    source's pushdown layer; ``gtype`` overrides the footer-derived group
+    Spark type, as on the states API."""
     partials, gtype = _partial_states_parquet(
-        spark, path, group_col, value_col, factory, ingest,
+        spark, path, group_col, value_col, factory, ingest, gtype=gtype,
         split_row_groups=split_row_groups, filters=filters,
     )
     return _merge_readout(
@@ -555,19 +571,12 @@ def grouped_distinct(
     error bound (~1.04/√2^p) applies per group."""
     from ..core.hll import HyperLogLog
 
-    partials, gtype = _partial_states(
-        df, group_col, value_col, lambda: HyperLogLog(p=p, sparse_limit=sparse_limit)
+    return grouped_estimate(
+        df, group_col, value_col,
+        lambda: HyperLogLog(p=p, sparse_limit=sparse_limit),
+        lambda sk: int(sk.estimate()), out_col, "long",
+        ingest=_packed_slice_ingest,
     )
-    return _merge_readout(
-        partials, group_col, gtype, _distinct_cols(out_col), f"{out_col} long"
-    )
-
-
-def _distinct_cols(out_col: str) -> Callable[[object], dict]:
-    def readout(sk) -> dict:
-        return {out_col: [int(sk.estimate())]}
-
-    return readout
 
 
 def grouped_distinct_parquet(
@@ -588,11 +597,10 @@ def grouped_distinct_parquet(
     pushdown layer."""
     from ..core.hll import HyperLogLog
 
-    partials, gtype = _partial_states_parquet(
+    return grouped_estimate_parquet(
         spark, path, group_col, value_col,
         lambda: HyperLogLog(p=p, sparse_limit=sparse_limit),
+        lambda sk: int(sk.estimate()), out_col, "long",
+        ingest=_packed_slice_ingest,
         split_row_groups=split_row_groups, filters=filters,
-    )
-    return _merge_readout(
-        partials, group_col, gtype, _distinct_cols(out_col), f"{out_col} long"
     )

@@ -38,6 +38,8 @@ the shuffled join bitwise) and the sizing discipline above.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -89,10 +91,18 @@ def bucketed_join(
     return left.join(spark.table(right_table), key, how)
 
 
+# physical-plan node names at the start of a tree line (after the drawing
+# characters): Exchange (shuffle), BroadcastExchange, ReusedExchange. An
+# anchored match keeps identifiers that merely CONTAIN the word (a column
+# named ExchangeRate in a ReadSchema, mid-line text) out of the count.
+_EXCHANGE_NODE = re.compile(r"(?m)^[\s:+\-*]*((?:Reused|Broadcast)?Exchange)\b")
+
+
 def exchange_count(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the EXECUTED plan — the
-    metric bucketing exists to drive to zero. Counts physical shuffles only
-    (reused exchanges count once; broadcast exchanges count too, since for
-    the big-×-big case they are just as much a data movement)."""
+    """Number of Exchange operators in the EXECUTED plan — the metric
+    bucketing exists to drive to zero. Counts shuffle and broadcast
+    exchanges (for the big-×-big case a broadcast is just as much a data
+    movement); ReusedExchange references are NOT re-counted — the one
+    producing Exchange already was."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange")
+    return sum(1 for m in _EXCHANGE_NODE.finditer(plan) if m.group(1) != "ReusedExchange")

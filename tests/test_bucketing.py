@@ -79,3 +79,27 @@ def test_write_bucketed_one_file_per_bucket_and_validation(spark, tmp_path):
         assert spark.table(f"{db}.t").count() == 1000
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_exchange_count_node_anchored():
+    """The counter must count Exchange NODES: ReusedExchange references are
+    not re-counted, and identifiers merely containing the word (a column
+    named ExchangeRate) never match."""
+    from cms_topn_spark.plans.bucketing import _EXCHANGE_NODE
+
+    plan = "\n".join(
+        [
+            "AdaptiveSparkPlan isFinalPlan=false",
+            "+- SortMergeJoin [k], [k], Inner",
+            "   :- Sort [k ASC NULLS FIRST], false, 0",
+            "   :  +- Exchange hashpartitioning(k, 8), ENSURE_REQUIREMENTS",
+            "   :     +- FileScan parquet [k,ExchangeRate] ReadSchema: struct<ExchangeRate:double>",
+            "   +- Sort [k ASC NULLS FIRST], false, 0",
+            "      +- ReusedExchange [k], Exchange hashpartitioning(k, 8)",
+            "+- BroadcastExchange HashedRelationBroadcastMode",
+        ]
+    )
+    hits = [m.group(1) for m in _EXCHANGE_NODE.finditer(plan)]
+    assert hits == ["Exchange", "ReusedExchange", "BroadcastExchange"]
+    counted = [h for h in hits if h != "ReusedExchange"]
+    assert len(counted) == 2

@@ -547,3 +547,39 @@ def test_grouped_estimate_parquet_matches_dataframe_form(spark, sf001_dir):
         ).collect()
     }
     assert direct == df_form and len(direct) > 0
+
+
+def test_grouped_estimate_default_ingest_dispatches_on_protocol(spark, sf001_dir):
+    """The generic form's DEFAULT ingest must work for both sketch protocols:
+    numeric add_batch (t-digest — would die with AttributeError under the
+    packed default) and packed add_packed (HLL), without the caller naming
+    an ingest."""
+    from cms_topn_spark.core import TDigest
+    from cms_topn_spark.core.hll import HyperLogLog
+    from cms_topn_spark.operators.grouped import grouped_estimate
+
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    med = {
+        r["event_type"]: r["median_value"]
+        for r in grouped_estimate(
+            events, "event_type", "value",
+            lambda: TDigest(delta=1e7), lambda sk: sk.quantile(0.5),
+            "median_value", "double",
+        ).collect()
+    }
+    assert len(med) > 0 and all(v is not None for v in med.values())
+    got = {
+        r["event_type"]: r["d"]
+        for r in grouped_estimate(
+            events, "event_type", "user_id",
+            lambda: HyperLogLog(p=14, sparse_limit=1 << 22),
+            lambda sk: int(sk.estimate()), "d", "long",
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert got == exact
