@@ -634,6 +634,59 @@ def q_stream_keyed_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "key string, total long, top_freq long")
 
 
+def q_stream_keyed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NUMERIC-sketch keyed stateful streaming shape under the hard
+    gate: events stream through keyed_quantile_stream (one KLL sketch per
+    event_type in Spark-managed state via applyInPandasWithState, update
+    output mode), staged as 4 files with maxFilesPerTrigger=1 so every key's
+    state genuinely folds across MULTIPLE micro-batches. n is monotone per
+    key, so max_by(quantile, n) over the update stream reads the FINAL
+    state's readout, which in the exact regime (k=65536 ≥ any per-key count
+    at every sandbox SF) equals quantile_cont BITWISE per key — the same
+    interpolation the batch grouped_kll gates pin."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from cms_topn_spark.streaming.stream_agg import keyed_quantile_stream
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_kq_")
+    qn = "keyed_quant_gate_" + uuid.uuid4().hex
+    try:
+        src = os.path.join(tmp, "in")
+        ev.select("event_type", "value").repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        updates = keyed_quantile_stream(stream, "event_type", "value", k=1 << 16)
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [
+            (r["key"], r["n"], r["q25"], r["q50"], r["q75"])
+            for r in spark.sql(
+                f"SELECT key, max(n) AS n, max_by(q25, n) AS q25, "
+                f"max_by(q50, n) AS q50, max_by(q75, n) AS q75 "
+                f"FROM {qn} GROUP BY key"
+            ).collect()
+        ]
+    finally:
+        spark.catalog.dropTempView(qn)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "key string, n long, q25 double, q50 double, q75 double"
+    )
+
+
 def q_stream_windowed_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time WINDOWED streaming under the hard gate (the last streaming
     surface): events stream through windowed_sketch_stream — watermarked
@@ -1122,6 +1175,7 @@ def q_curate_corpus(spark, sf_dir):
 
 _ORDER: dict[str, str] = {
     "bucketed_orders_join": "k",
+    "stream_keyed_quantiles": "key",
     "cms_topn_event_types": "frequency DESC, item",
     "cms_topn_doc_tokens": "frequency DESC, item",
     "cms_topn_frequency_probe": "user_id",
@@ -1231,17 +1285,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness harness records the first ~50 entries
     # per round, so entries without a prior-round record go FIRST (round 6:
-    # the four r5 tail queries, the new planted-LSH / pushdown gates, and
-    # the bucketed-join gate), and the slots they displace rotate to the
-    # tail — each tail entry has a recorded near-twin this round
+    # the four r5 tail queries, the new planted-LSH / pushdown gates, the
+    # bucketed-join gate and the keyed streaming-quantiles gate), and the
+    # slots they displace rotate to the tail — every tail entry was
+    # recorded in r5, has a recorded near-twin THIS round
     # (jaccard_pairs→jaccard_pairs_pruned, lang_id→lang_id_ngram,
-    # ann_lsh_topk→ann_brute/ann_lsh_planted, ann_ivf_topk→ann_ivf_planted,
+    # ann_lsh_topk/ann_ivf_topk/ann_brute_topk→the planted ANN gates,
     # simhash_docs→simhash_near_pairs, corpus_profile→corpus_profile_direct
-    # which shares the identical oracle SQL) and rotates back next round.
-    # ann_brute_topk now sits at position 51 (recorded through r5; its
-    # planted twins stay recorded) — rotate it back with the tail in r7.
+    # which shares the identical oracle SQL,
+    # grouped_kll_quantiles_direct→grouped_kll_quantiles/_filtered), and
+    # MUST rotate back in r7 (no query misses two rounds running).
     return {
         "bucketed_orders_join": q_bucketed_orders_join,
+        "stream_keyed_quantiles": q_stream_keyed_quantiles,
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
         "cosine_lsh_planted_pairs": q_cosine_lsh_planted_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1264,7 +1320,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "grouped_topn": q_grouped_topn,
         "grouped_kll_quantiles": q_grouped_kll_quantiles,
-        "grouped_kll_quantiles_direct": q_grouped_kll_quantiles_direct,
         "grouped_kll_quantiles_filtered": q_grouped_kll_quantiles_filtered,
         "grouped_user_days": q_grouped_user_days,
         "ann_lsh_planted_topk": q_ann_lsh_planted_topk,
@@ -1291,9 +1346,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dup_clusters": q_dup_clusters,
         "simhash_near_pairs": q_simhash_near_pairs,
-        "ann_brute_topk": q_ann_brute_topk,
         # ---- rotation tail (see the ordering comment above; simhash_docs'
         # recorded twin is simhash_near_pairs, which consumes its output) ----
+        "ann_brute_topk": q_ann_brute_topk,
+        "grouped_kll_quantiles_direct": q_grouped_kll_quantiles_direct,
         "simhash_docs": q_simhash_docs,
         "jaccard_pairs": q_jaccard_pairs,
         "lang_id": q_lang_id,
@@ -1315,6 +1371,13 @@ def _raw_oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY 1
+        """,
+        "stream_keyed_quantiles": """
+            SELECT event_type AS key, count(value)::BIGINT AS n,
+                   quantile_cont(value, 0.25) AS q25,
+                   quantile_cont(value, 0.5)  AS q50,
+                   quantile_cont(value, 0.75) AS q75
+            FROM events GROUP BY 1
         """,
         "cms_topn_event_types": """
             SELECT event_type AS item, count(*)::BIGINT AS frequency

@@ -329,3 +329,64 @@ def keyed_sketch_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def keyed_quantile_stream(
+    stream_df,
+    key_col: str,
+    value_col: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+    q_names: tuple = ("q25", "q50", "q75"),
+    k: int = 200,
+):
+    """Per-key streaming quantiles as a custom stateful operator — the
+    NUMERIC-sketch companion to :func:`keyed_sketch_stream`: Spark manages
+    one serialized KLL sketch per key through ``applyInPandasWithState``
+    (update mode, no timeout), each micro-batch folds its rows into the
+    key's state shuffle-free-within-the-batch, and every update emits the
+    current (key, n, quantiles). ``n`` is monotone per key, so the final
+    state's readout is the emission with the largest ``n`` (read it with
+    ``max_by(q, n)`` over the sink). In the exact regime (``k`` ≥ any
+    per-key count) the final quantiles equal ``quantile_cont`` bitwise —
+    same interpolation the batch grouped form gates on; beyond it the KLL
+    rank-error bound applies per key. NULL values arrive as NaN and are
+    dropped inside ``add_batch``, mirroring the aggregate's NULL skip."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..core.kll import KllSketch
+
+    if len(qs) != len(q_names):
+        raise ValueError("qs and q_names must have the same length")
+    qs = tuple(float(q) for q in qs)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            sk = sketch_from_bytes(bytes(state.get[0]))
+        else:
+            sk = KllSketch(k)
+        for pdf in pdfs:
+            vals = pdf[value_col].to_numpy(dtype="float64", na_value=float("nan"))
+            if len(vals):
+                sk.add_batch(vals)
+        state.update((sk.to_bytes(),))
+        quants = sk.quantiles(qs)
+        yield pd.DataFrame(
+            {
+                # str() key for the fixed output schema, like keyed_sketch_stream
+                "key": [str(key[0])],
+                "n": [sk.n],
+                **{name: [v] for name, v in zip(q_names, quants)},
+            }
+        )
+
+    out_schema = "key string, n long, " + ", ".join(f"{n} double" for n in q_names)
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="state binary",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

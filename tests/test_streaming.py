@@ -122,6 +122,58 @@ class TestKeyedStream:
             assert got[k][1] == freq
 
 
+    def test_keyed_quantiles_multibatch_matches_quantile_cont(self, spark, tmp_path, sf001_dir):
+        """keyed_quantile_stream: per-key KLL state folded across MULTIPLE
+        micro-batches (4 files, maxFilesPerTrigger=1); the final emission per
+        key (max n) must equal per-key quantile_cont BITWISE in the exact
+        regime, and n must equal the non-null count."""
+        from cms_topn_spark.streaming.stream_agg import keyed_quantile_stream
+
+        src = str(tmp_path / "ev")
+        events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+        events.select("event_type", "value").repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = keyed_quantile_stream(stream, "event_type", "value", k=1 << 16)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("keyed_quant")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckq"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        sink = spark.sql("SELECT * FROM keyed_quant").collect()
+        # multiple update emissions per key proves the multi-batch fold ran
+        assert len(sink) > len({r["key"] for r in sink})
+        got = {
+            r["key"]: (r["n"], r["q25"], r["q50"], r["q75"])
+            for r in spark.sql(
+                "SELECT key, max(n) AS n, max_by(q25, n) AS q25, "
+                "max_by(q50, n) AS q50, max_by(q75, n) AS q75 "
+                "FROM keyed_quant GROUP BY key"
+            ).collect()
+        }
+        exact = {
+            r["event_type"]: (r["n"], r["q25"], r["q50"], r["q75"])
+            for r in spark.sql(
+                """
+                SELECT event_type, count(value) AS n,
+                       percentile(value, 0.25) AS q25,
+                       percentile(value, 0.5)  AS q50,
+                       percentile(value, 0.75) AS q75
+                FROM {ev} GROUP BY event_type
+                """,
+                ev=events,
+            ).collect()
+        }
+        assert got == exact and len(got) > 0
+
+
 class TestCommitAtomicity:
     """The batch id travels inside the state frame (one atomic rename), so a
     crash between 'state folded' and 'commit recorded' cannot exist; windowed
