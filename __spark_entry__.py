@@ -299,6 +299,91 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_t(spark, sf_dir, "events"))
 
 
+_EPOCH_US = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+)  # == DuckDB epoch_us(ts); tz-free, integer-exact (see q_user_sessions)
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/joins.py asof_join): attribute each
+    purchase to the same user's most recent click at-or-before it —
+    left-outer, ties broken toward the largest click event_id. One exchange
+    TOTAL for both inputs (tag → union → single keyed window with an atomic
+    struct carry); a sort-merge-join formulation would shuffle twice and
+    re-reduce per key. PostgreSQL (the reference's host engine) has no
+    as-of join at all. Times compared as epoch-µs longs so the DuckDB
+    QUALIFY/row_number oracle is integer-exact."""
+    from cms_topn_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    us = F.expr(_EPOCH_US).cast("long")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("ts_us")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        us.alias("click_ts_us"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts_us",
+        right_time="click_ts_us",
+        right_tiebreak="click_id",
+    )
+    # Unmatched purchases keep the operator's left-outer NULLs; the GATE
+    # sentinel-fills them (identically in the SQL oracle) because the
+    # harness's value comparison need not be NULL-safe. -1 is impossible for
+    # real ids/epoch-µs here.
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.coalesce("click_ts_us", F.lit(-1).cast("long")).alias("click_ts_us"),
+        F.coalesce("click_id", F.lit(-1).cast("long")).alias("click_id"),
+        F.coalesce("click_value", F.lit(0.0)).alias("click_value"),
+    )
+
+
+def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (operators/joins.py range_join_pairs): clicks by ANY
+    user landing in each purchase's trailing 1-hour window [ts-1h, ts) — a
+    pure inequality join with no equi-key, which Spark would otherwise plan
+    as an O(|P|·|I|) BroadcastNestedLoopJoin. Binning at the window width
+    (1 h) replicates each interval over ≤2 bins and each point exactly once,
+    turning the theta-join into a hash-shuffled equi-join plus an exact
+    residual filter — linear at 100 TB. Left-outer counts via join-back
+    (purchases with zero clicks keep n_clicks = 0)."""
+    from cms_topn_spark.operators.joins import range_join_pairs
+
+    hour_us = 3_600_000_000
+    e = _t(spark, sf_dir, "events")
+    us = F.expr(_EPOCH_US).cast("long")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", us.alias("ts_us")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        us.alias("click_ts_us")
+    )
+    windows = purchases.select(
+        "event_id",
+        (F.col("ts_us") - F.lit(hour_us)).alias("w_start"),
+        F.col("ts_us").alias("w_end"),
+    )
+    pairs = range_join_pairs(
+        clicks, "click_ts_us", windows, "w_start", "w_end", bin_width=hour_us
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("*").cast("long").alias("n_clicks")
+    )
+    return purchases.select("event_id").join(counts, "event_id", "left").select(
+        "event_id", F.coalesce("n_clicks", F.lit(0).cast("long")).alias("n_clicks")
+    )
+
+
 def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1174,6 +1259,8 @@ def q_curate_corpus(spark, sf_dir):
 # operators), and the gate can never flap on row order.
 
 _ORDER: dict[str, str] = {
+    "asof_join_events": "event_id",
+    "range_join_attribution": "event_id",
     "bucketed_orders_join": "k",
     "stream_keyed_quantiles": "key",
     "cms_topn_event_types": "frequency DESC, item",
@@ -1293,9 +1380,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_lsh_topk/ann_ivf_topk/ann_brute_topk→the planted ANN gates,
     # simhash_docs→simhash_near_pairs, corpus_profile→corpus_profile_direct
     # which shares the identical oracle SQL,
-    # grouped_kll_quantiles_direct→grouped_kll_quantiles/_filtered), and
+    # grouped_kll_quantiles_direct→grouped_kll_quantiles_filtered,
+    # grouped_kll_quantiles→grouped_kll_quantiles_filtered,
+    # grouped_user_freq→grouped_topn + cms_topn_frequency_probe), and
     # MUST rotate back in r7 (no query misses two rounds running).
     return {
+        "asof_join_events": q_asof_join_events,
+        "range_join_attribution": q_range_join_attribution,
         "bucketed_orders_join": q_bucketed_orders_join,
         "stream_keyed_quantiles": q_stream_keyed_quantiles,
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
@@ -1319,14 +1410,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_topn": q_stream_windowed_topn,
         "stream_dedup": q_stream_dedup,
         "grouped_topn": q_grouped_topn,
-        "grouped_kll_quantiles": q_grouped_kll_quantiles,
         "grouped_kll_quantiles_filtered": q_grouped_kll_quantiles_filtered,
         "grouped_user_days": q_grouped_user_days,
         "ann_lsh_planted_topk": q_ann_lsh_planted_topk,
         "ann_ivf_planted_topk": q_ann_ivf_planted_topk,
         "cms_vocab_gate": q_cms_vocab_gate,
         "media_pixel_stats": q_media_pixel_stats,
-        "grouped_user_freq": q_grouped_user_freq,
         "user_sessions": q_user_sessions,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "top_nations_revenue": q_top_nations_revenue,
@@ -1350,6 +1439,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recorded twin is simhash_near_pairs, which consumes its output) ----
         "ann_brute_topk": q_ann_brute_topk,
         "grouped_kll_quantiles_direct": q_grouped_kll_quantiles_direct,
+        "grouped_kll_quantiles": q_grouped_kll_quantiles,
+        "grouped_user_freq": q_grouped_user_freq,
         "simhash_docs": q_simhash_docs,
         "jaccard_pairs": q_jaccard_pairs,
         "lang_id": q_lang_id,
@@ -1366,6 +1457,38 @@ def oracle_sql() -> dict[str, str]:
 def _raw_oracle_sql() -> dict[str, str]:
     jaccard = dedup.jaccard_pairs_sql("documents", 0.8)
     sql = {
+        "asof_join_events": """
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, epoch_us(ts) AS click_ts_us,
+                     event_id AS click_id, value AS click_value
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT p.event_id, p.user_id, p.ts_us,
+                   coalesce(c.click_ts_us, -1) AS click_ts_us,
+                   coalesce(c.click_id, -1) AS click_id,
+                   coalesce(c.click_value, 0.0) AS click_value
+            FROM p LEFT JOIN c
+              ON c.user_id = p.user_id AND c.click_ts_us <= p.ts_us
+            QUALIFY row_number() OVER (
+              PARTITION BY p.event_id
+              ORDER BY c.click_ts_us DESC NULLS LAST, c.click_id DESC NULLS LAST
+            ) = 1
+        """,
+        "range_join_attribution": """
+            WITH p AS (
+              SELECT event_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT epoch_us(ts) AS us FROM events WHERE event_type = 'click'
+            )
+            SELECT p.event_id, count(c.us)::BIGINT AS n_clicks
+            FROM p LEFT JOIN c
+              ON c.us >= p.ts_us - 3600000000 AND c.us < p.ts_us
+            GROUP BY p.event_id
+        """,
         "bucketed_orders_join": """
             SELECT o_orderkey AS k, count(*)::BIGINT AS n_items,
                    count(DISTINCT l_suppkey)::BIGINT AS n_suppliers

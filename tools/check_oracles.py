@@ -34,9 +34,21 @@ def norm_cell(v):
     return v
 
 
+def _cell_key(c):
+    # NULL/NaN-safe sort key: NULLs first, then strings apart from numbers
+    # (norm_cell maps NaN to the string "NaN", so a float column with NaNs
+    # mixes types), then the value itself (equal values — including
+    # int/float mixes like 1 vs 1.0 — get equal keys, so two equal multisets
+    # always sort into pairwise-equal lists).
+    if c is None:
+        return (0, False, 0)
+    return (1, isinstance(c, str), 0 if isinstance(c, str) else c, str(c))
+
+
 def rowset(cols: list[str], rows: list[tuple]):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    normed = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(normed, key=lambda r: tuple(_cell_key(c) for c in r))
 
 
 def main() -> int:
