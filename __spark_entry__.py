@@ -1036,6 +1036,96 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "digest string")
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join via Spark's built-in watermarked join —
+    the last classic streaming shape (complements the foreachBatch fold,
+    applyInPandasWithState, watermarked windows, and stateful
+    dropDuplicates gates): purchases and clicks arrive as two independent
+    streams (2 files each, maxFilesPerTrigger=1, so matches MUST be found
+    across micro-batch boundaries out of Spark-managed join state, not
+    within one batch), inner-joined on user_id with the click in the
+    purchase's trailing 24-hour window [ts-24h, ts). The watermark (35
+    days, beyond the corpus's 30-day span) makes nothing late, so the
+    emitted pair set must equal the batch inequality-join oracle EXACTLY;
+    in production the same job runs with the watermark sized to the
+    lateness SLA and the join state stays bounded — that knob, not the
+    plan, is the only difference. Output is the (purchase, click) id pair
+    set: ids determine the rows fully, and timestamps stay out of the
+    cross-engine comparison. Event times staged via timestamp_micros over
+    the NTZ-safe epoch expression, so the 24 h arithmetic is identical in
+    both engines under any session timezone."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_ij_")
+    qn = "stream_ij_" + uuid.uuid4().hex
+    # Stream-stream join state lives in one store PER shuffle partition PER
+    # micro-batch — on gate-sized data the wall clock is pure state-store
+    # checkpoint overhead, so pin a small partition count for the stream's
+    # lifetime (restored below; the state partition count is fixed at
+    # checkpoint creation, so this only affects THIS query's checkpoint).
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        staged = ev.select(
+            F.timestamp_micros(F.expr(_EPOCH_US)).alias("ts"),
+            "event_id",
+            "user_id",
+            "event_type",
+        )
+        psrc = os.path.join(tmp, "purchases")
+        csrc = os.path.join(tmp, "clicks")
+        staged.where(F.col("event_type") == "purchase").repartition(2).write.parquet(psrc)
+        staged.where(F.col("event_type") == "click").repartition(2).write.parquet(csrc)
+        schema = "ts timestamp, event_id long, user_id long, event_type string"
+
+        def _src(path: str) -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(path)
+                .withWatermark("ts", "35 days")
+            )
+
+        p = _src(psrc).select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        c = _src(csrc).select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        joined = p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+            & (F.col("c_ts") < F.col("p_ts")),
+            "inner",
+        ).select("p_event_id", "c_event_id")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [
+            (r["p_event_id"], r["c_event_id"])
+            for r in spark.sql(f"SELECT p_event_id, c_event_id FROM {qn}").collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        spark.catalog.dropTempView(qn)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "p_event_id long, c_event_id long")
+
+
 def q_grouped_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group DISTINCT counts in the map-side-combine scale form
     (operators/grouped.py grouped_distinct): distinct active days per user —
@@ -1261,6 +1351,7 @@ def q_curate_corpus(spark, sf_dir):
 _ORDER: dict[str, str] = {
     "asof_join_events": "event_id",
     "range_join_attribution": "event_id",
+    "stream_interval_join": "p_event_id, c_event_id",
     "bucketed_orders_join": "k",
     "stream_keyed_quantiles": "key",
     "cms_topn_event_types": "frequency DESC, item",
@@ -1382,11 +1473,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # which shares the identical oracle SQL,
     # grouped_kll_quantiles_direct→grouped_kll_quantiles_filtered,
     # grouped_kll_quantiles→grouped_kll_quantiles_filtered,
-    # grouped_user_freq→grouped_topn + cms_topn_frequency_probe), and
+    # grouped_user_freq→grouped_topn + cms_topn_frequency_probe,
+    # incremental_dedup→exact_dedup + bloom_customer_semijoin which cover
+    # its two mechanisms), and
     # MUST rotate back in r7 (no query misses two rounds running).
     return {
         "asof_join_events": q_asof_join_events,
         "range_join_attribution": q_range_join_attribution,
+        "stream_interval_join": q_stream_interval_join,
         "bucketed_orders_join": q_bucketed_orders_join,
         "stream_keyed_quantiles": q_stream_keyed_quantiles,
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
@@ -1426,7 +1520,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "tfidf_top_terms": q_tfidf_top_terms,
         "exact_dedup": q_exact_dedup,
-        "incremental_dedup": q_incremental_dedup,
         "contamination_report": q_contamination_report,
         "fingerprint_decontamination": q_fingerprint_decontamination,
         "doc_chunks": q_doc_chunks,
@@ -1441,6 +1534,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_kll_quantiles_direct": q_grouped_kll_quantiles_direct,
         "grouped_kll_quantiles": q_grouped_kll_quantiles,
         "grouped_user_freq": q_grouped_user_freq,
+        "incremental_dedup": q_incremental_dedup,
         "simhash_docs": q_simhash_docs,
         "jaccard_pairs": q_jaccard_pairs,
         "lang_id": q_lang_id,
@@ -1488,6 +1582,18 @@ def _raw_oracle_sql() -> dict[str, str]:
             FROM p LEFT JOIN c
               ON c.us >= p.ts_us - 3600000000 AND c.us < p.ts_us
             GROUP BY p.event_id
+        """,
+        "stream_interval_join": """
+            WITH p AS (
+              SELECT event_id AS p_event_id, user_id, ts
+              FROM events WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT event_id AS c_event_id, user_id, ts AS cts
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT p.p_event_id, c.c_event_id
+            FROM p JOIN c ON p.user_id = c.user_id
+             AND c.cts >= p.ts - INTERVAL 24 HOUR AND c.cts < p.ts
         """,
         "bucketed_orders_join": """
             SELECT o_orderkey AS k, count(*)::BIGINT AS n_items,

@@ -154,7 +154,7 @@ def asof_join(
         F.col(right_time).alias(_T),
         F.lit(0).alias(_SIDE),
         payload_t.alias(_PAY),
-    ).select(*l_tagged.columns)  # align union column order
+    )
 
     # One exchange for both inputs: right rows at the same time sort before
     # the left row (side 0 < 1), so "<=" is inclusive; among equal-time
@@ -231,10 +231,21 @@ def range_join_pairs(
     def _floor_div(c: Column) -> Column:
         # Exact floor division in long space: c - pmod(c, w) is the largest
         # multiple of w <= c (any sign); dividing an exact multiple is exact
-        # in double up to 2^53, far beyond epoch-micros range. A plain
-        # floor(c / w) rounds through an inexact double quotient and can
-        # land a bin-edge point in the wrong bin.
-        return ((c - F.pmod(c, w)) / w).cast("long")
+        # in double up to 2^53, far beyond epoch-micros range (~1.7e15). A
+        # plain floor(c / w) rounds through an inexact double quotient and
+        # can land a bin-edge point in the wrong bin. Beyond 2^53 (e.g.
+        # epoch NANOSECOND times) even the exact multiple rounds, which
+        # would silently misbin and DROP qualifying pairs — so fail loudly
+        # instead, matching the max_bins breaker's style.
+        quotient = ((c - F.pmod(c, w)) / w).cast("long")
+        return F.when(F.abs(c) < F.lit(1 << 53), quotient).otherwise(
+            F.raise_error(
+                F.lit(
+                    "range_join_pairs: |time| >= 2^53 exceeds the exact "
+                    "binning range — rescale times (e.g. ns -> us) first"
+                )
+            ).cast("long")
+        )
 
     p_binned = points.withColumn(
         "__rj_bin", _floor_div(F.col(point_time).cast("long"))

@@ -291,3 +291,17 @@ def test_range_join_negative_times_exact_bins(spark):
     pd.testing.assert_frame_equal(
         got[["pt", "pid", "s", "e", "iid"]], exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_range_join_beyond_2_53_raises(spark):
+    """Times beyond double-exact range must fail loudly, never misbin."""
+    ppd = pd.DataFrame({"pt": np.array([1 << 54], dtype="int64")})
+    ppd["pid"] = np.arange(1, dtype="int64")
+    ipd = pd.DataFrame(
+        {"s": np.array([0], dtype="int64"), "e": np.array([100], dtype="int64")}
+    )
+    ipd["iid"] = np.arange(1, dtype="int64")
+    with pytest.raises(Exception, match="2\\^53"):
+        range_join_pairs(
+            spark.createDataFrame(ppd), "pt", spark.createDataFrame(ipd), "s", "e", 64
+        ).count()

@@ -322,3 +322,28 @@ def test_pre_frame_state_layout_gets_clear_error(tmp_path):
         f.write(sk.to_bytes())  # old layout: bare sketch bytes
     with pytest.raises(SketchError, match="pre-frame layout"):
         _read_frame(p)
+
+
+def test_stream_interval_join_matches_batch_join(spark, sf001_dir):
+    """The stream-stream watermarked interval join gate equals the batch
+    inequality join, and the multi-trigger staging really produced matches
+    (sf0.001 has a small but nonzero pair set)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    got = sorted(
+        tuple(r) for r in entrymod.q_stream_interval_join(spark, sf001_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf001_dir}/events.parquet'"
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            entrymod._raw_oracle_sql()["stream_interval_join"]
+        ).fetchall()
+    )
+    assert len(exp) > 0
+    assert got == exp
