@@ -746,9 +746,18 @@ def main() -> None:
     # SPARK_GRAFT_SKIP_SCALING=1 / SPARK_GRAFT_SKIP_HEADLINE=1 run one
     # section alone — re-measuring scaling in a quiet window shouldn't cost
     # a headline pass and vice versa
-    skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
+    # SPARK_GRAFT_SKIP_FLAGSHIP=1 skips only the flagship N-vs-4N section
+    # (the most expensive one) so per-query scaling can be retried alone in
+    # a quiet window.
+    skip_scaling = (
+        os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
+        or os.environ.get("SPARK_GRAFT_SKIP_FLAGSHIP") == "1"
+    )
     skip_headline = os.environ.get("SPARK_GRAFT_SKIP_HEADLINE") == "1"
-    skip_qscaling = os.environ.get("SPARK_GRAFT_SKIP_QSCALING") == "1" or skip_scaling
+    skip_qscaling = (
+        os.environ.get("SPARK_GRAFT_SKIP_QSCALING") == "1"
+        or os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
+    )
 
     # scaling first: the headline section runs at local[32] and leaves a
     # 1-minute load shadow that would contaminate the scaling measurements.
