@@ -62,6 +62,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "kll_length_gate",
     "grouped_kll_quantiles",  # round 4: per-group quantiles, states-only shuffle
+    "asof_join_events",  # round 6: one-exchange union+window as-of join
+    "range_join_attribution",  # round 6: binned no-equi-key interval join
 ]
 
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "9000000"))
