@@ -81,20 +81,29 @@ def asof_join(
     right_time: str,
     right_tiebreak: Optional[str] = None,
     tolerance: Optional[int] = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row with right_time <= left_time.
+    """As-of join: the closest right row at-or-before (``direction=
+    "backward"``, the default: largest right_time <= left_time) or
+    at-or-after (``"forward"``: smallest right_time >= left_time) each
+    left row within the same key.
 
     Returns all ``left`` columns plus every non-key ``right`` column
     (including ``right_time``); right columns are NULL for left rows with
     no qualifying match (left-outer semantics). Ties on ``right_time`` are
-    broken toward the largest ``right_tiebreak`` (pass a unique right id to
-    make the result fully deterministic). ``tolerance`` (same units as the
-    time columns, which must then be numeric) additionally requires
-    left_time - right_time <= tolerance.
+    broken toward the largest ``right_tiebreak`` going backward and the
+    smallest going forward (pass a unique right id to make the result
+    fully deterministic). ``tolerance`` (same units as the time columns,
+    which must then be numeric) additionally requires
+    |left_time - right_time| <= tolerance.
 
     Column names (other than the keys) must be disjoint between the two
     inputs — rename before calling; silently suffixing hides bugs.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', got {direction!r}"
+        )
     keys = _as_list(on)
     reserved = {_T, _SIDE, _PAY, "__asof_match"}
     taken = reserved & (set(left.columns) | set(right.columns))
@@ -156,24 +165,43 @@ def asof_join(
         payload_t.alias(_PAY),
     )
 
-    # One exchange for both inputs: right rows at the same time sort before
-    # the left row (side 0 < 1), so "<=" is inclusive; among equal-time
-    # right rows the tiebreak's max wins via last().
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(_T), F.col(_SIDE), *tie)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # One exchange for both inputs, either direction. Backward: right rows
+    # at the same time sort BEFORE the left row (side 0 < 1), so "<=" is
+    # inclusive and a running last() picks the latest (max tiebreak at
+    # ties). Forward: the side order flips so equal-time right rows sort
+    # AFTER the left row, and a [current, +inf) first() picks the earliest
+    # (min tiebreak at ties).
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(_T), F.col(_SIDE), *tie)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last(_PAY, ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(_T), F.col(_SIDE).desc(), *tie)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = F.first(_PAY, ignorenulls=True).over(w)
     matched = (
         l_tagged.unionByName(r_tagged)
-        .withColumn("__asof_match", F.last(_PAY, ignorenulls=True).over(w))
+        .withColumn("__asof_match", carried)
         .where(F.col(_SIDE) == 1)
     )
-    m: Column = F.col("__asof_match")
+    # A NULL left_time matches nothing in either direction (NULL <= t /
+    # NULL >= t are not-true); backward gets this for free from the sort
+    # (NULLs first, empty frame behind), forward would otherwise see every
+    # right row ahead of the NULL block.
+    m: Column = F.when(F.col(_T).isNotNull(), F.col("__asof_match"))
     if tolerance is not None:
-        m = F.when(
-            F.col(_T) - m[right_time] <= F.lit(tolerance), m
-        )  # otherwise NULL: match exists but is too old
+        gap = (
+            F.col(_T) - m[right_time]
+            if direction == "backward"
+            else m[right_time] - F.col(_T)
+        )
+        m = F.when(gap <= F.lit(tolerance), m)  # else NULL: match too far away
     return matched.select(
         *[F.col(c) for c in left.columns],
         *[m[c].alias(c) for c in right_payload],

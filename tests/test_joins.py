@@ -305,3 +305,86 @@ def test_range_join_beyond_2_53_raises(spark):
         range_join_pairs(
             spark.createDataFrame(ppd), "pt", spark.createDataFrame(ipd), "s", "e", 64
         ).count()
+
+
+def _duck_asof_forward(lpd, rpd, extra_pred=""):
+    con = duckdb.connect()
+    con.register("l", lpd)
+    con.register("r", rpd)
+    return (
+        con.execute(
+            f"""
+            SELECT l.k, l.lt, l.lid, r.rt, r.rid, r.val
+            FROM l LEFT JOIN r ON r.k = l.k AND r.rt >= l.lt {extra_pred}
+            QUALIFY row_number() OVER (
+              PARTITION BY l.lid ORDER BY r.rt ASC NULLS LAST, r.rid ASC NULLS LAST
+            ) = 1
+            ORDER BY lid
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+
+
+def test_asof_join_forward_duckdb_parity(spark):
+    lpd, rpd = _frames(seed=31)
+    out = (
+        asof_join(
+            spark.createDataFrame(lpd),
+            spark.createDataFrame(rpd),
+            on="k",
+            left_time="lt",
+            right_time="rt",
+            right_tiebreak="rid",
+            direction="forward",
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["k", "lt", "lid", "rt", "rid", "val"]],
+        _duck_asof_forward(lpd, rpd),
+        check_dtype=False,
+    )
+
+
+def test_asof_join_forward_tolerance_and_null_left_time(spark):
+    lpd, rpd = _frames(seed=37)
+    lpd = lpd.copy()
+    lpd["lt"] = pd.array(lpd["lt"], dtype="Int64")
+    lpd.loc[0:4, "lt"] = None  # NULL left times must match nothing
+    out = (
+        asof_join(
+            spark.createDataFrame(lpd),
+            spark.createDataFrame(rpd),
+            on="k",
+            left_time="lt",
+            right_time="rt",
+            right_tiebreak="rid",
+            tolerance=40,
+            direction="forward",
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = _duck_asof_forward(lpd, rpd, extra_pred="AND r.rt - l.lt <= 40")
+    assert out.loc[out["lt"].isna(), "rid"].isna().all()
+    pd.testing.assert_frame_equal(
+        out[["k", "lt", "lid", "rt", "rid", "val"]], exp, check_dtype=False
+    )
+
+
+def test_asof_join_bad_direction(spark):
+    lpd, rpd = _frames()
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(
+            spark.createDataFrame(lpd),
+            spark.createDataFrame(rpd),
+            on="k",
+            left_time="lt",
+            right_time="rt",
+            direction="nearest",
+        )
