@@ -435,6 +435,51 @@ def _bucket_db(spark: SparkSession, sf_dir: str) -> str:
     return db
 
 
+_PARTITIONED_STAGING: dict = {}
+
+
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partition pruning under the hard gate (plans/
+    partitions.py, §2.4 storage/exchange — the directory-level leg next to
+    bucketing's Exchange elision and the direct ingest's row-group
+    pruning): events are staged ``partitionBy(event_type)`` once per
+    sf_dir (process-scoped, removed at exit), the query filters on the
+    partition key, and the gate ASSERTS the filter lands in the scan's
+    ``PartitionFilters`` (listing-level pruning; ``inputFiles()`` is not
+    pruning-aware) — a regression that demotes it to a post-scan filter
+    fails loudly, and the corrupt-sibling-partition pytest proves pruned
+    scans never open other partitions' files. At 100 TB the same
+    layout (usually date + type) makes selective scans independent of
+    table size: pruning happens in the file LISTING, before any reader
+    opens anything. Per-user click counts; exact GROUP-BY oracle over the
+    unpartitioned table."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from cms_topn_spark.plans.partitions import (
+        assert_partition_pruned,
+        write_partitioned,
+    )
+
+    if sf_dir not in _PARTITIONED_STAGING:
+        staged = tempfile.mkdtemp(prefix="part_events_")
+        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+        write_partitioned(
+            _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type"),
+            staged,
+            "event_type",
+        )
+        _PARTITIONED_STAGING[sf_dir] = staged
+    staged = _PARTITIONED_STAGING[sf_dir]
+
+    clicks = spark.read.parquet(staged).where(F.col("event_type") == "click")
+    assert_partition_pruned(clicks, "event_type")
+    return clicks.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_clicks")
+    )
+
+
 def q_bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located equijoin (plans/bucketing.py, §2.4 storage/
     exchange): orders and lineitem are written bucketBy+sortBy(orderkey)
@@ -1352,6 +1397,7 @@ _ORDER: dict[str, str] = {
     "asof_join_events": "event_id",
     "range_join_attribution": "event_id",
     "stream_interval_join": "p_event_id, c_event_id",
+    "partition_pruned_scan": "user_id",
     "bucketed_orders_join": "k",
     "stream_keyed_quantiles": "key",
     "cms_topn_event_types": "frequency DESC, item",
@@ -1475,12 +1521,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # grouped_kll_quantiles→grouped_kll_quantiles_filtered,
     # grouped_user_freq→grouped_topn + cms_topn_frequency_probe,
     # incremental_dedup→exact_dedup + bloom_customer_semijoin which cover
-    # its two mechanisms), and
+    # its two mechanisms, quality_score→curate_corpus which composes the
+    # same lang+quality+repetition gates), and
     # MUST rotate back in r7 (no query misses two rounds running).
     return {
         "asof_join_events": q_asof_join_events,
         "range_join_attribution": q_range_join_attribution,
         "stream_interval_join": q_stream_interval_join,
+        "partition_pruned_scan": q_partition_pruned_scan,
         "bucketed_orders_join": q_bucketed_orders_join,
         "stream_keyed_quantiles": q_stream_keyed_quantiles,
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
@@ -1515,7 +1563,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_nations_revenue": q_top_nations_revenue,
         "token_stats": q_token_stats,
         "lang_id_ngram": q_lang_id_ngram,
-        "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1535,6 +1582,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_kll_quantiles": q_grouped_kll_quantiles,
         "grouped_user_freq": q_grouped_user_freq,
         "incremental_dedup": q_incremental_dedup,
+        "quality_score": q_quality_score,
         "simhash_docs": q_simhash_docs,
         "jaccard_pairs": q_jaccard_pairs,
         "lang_id": q_lang_id,
@@ -1594,6 +1642,10 @@ def _raw_oracle_sql() -> dict[str, str]:
             SELECT p.p_event_id, c.c_event_id
             FROM p JOIN c ON p.user_id = c.user_id
              AND c.cts >= p.ts - INTERVAL 24 HOUR AND c.cts < p.ts
+        """,
+        "partition_pruned_scan": """
+            SELECT user_id, count(*)::BIGINT AS n_clicks
+            FROM events WHERE event_type = 'click' GROUP BY user_id
         """,
         "bucketed_orders_join": """
             SELECT o_orderkey AS k, count(*)::BIGINT AS n_items,

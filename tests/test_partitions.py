@@ -1,0 +1,74 @@
+"""Hive-layout partition pruning: staging, plan assertion, empirical skip."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cms_topn_spark.plans.partitions import (
+    assert_partition_pruned,
+    partition_filters,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def staged(spark, sf001_dir, tmp_path):
+    path = str(tmp_path / "events")
+    ev = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    write_partitioned(ev.select("event_id", "user_id", "event_type"), path, "event_type")
+    return path
+
+
+def test_layout_has_one_dir_per_type(staged):
+    dirs = sorted(d for d in os.listdir(staged) if d.startswith("event_type="))
+    assert len(dirs) == 5 and "event_type=click" in dirs
+
+
+def test_pruned_scan_matches_unpartitioned_counts(spark, staged, sf001_dir):
+    clicks = spark.read.parquet(staged).where(F.col("event_type") == "click")
+    filters = assert_partition_pruned(clicks, "event_type")
+    assert any("click" in f for f in filters)
+    ev = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    assert clicks.count() == ev.where("event_type = 'click'").count()
+
+
+def test_pruned_scan_never_opens_other_partitions(spark, staged):
+    """Empirical pruning proof: corrupt a sibling partition's file. The
+    partition-pruned scan never opens it; a scan that lists every
+    partition dies on the bad footer."""
+    err_dir = os.path.join(staged, "event_type=error")
+    victims = [f for f in os.listdir(err_dir) if f.endswith(".parquet")]
+    assert victims
+    for v in victims:
+        with open(os.path.join(err_dir, v), "wb") as fh:
+            fh.write(b"not a parquet file")
+    pruned = spark.read.parquet(staged).where(F.col("event_type") == "click")
+    assert pruned.count() > 0  # succeeds: corrupt file never touched
+    unpruned = spark.read.parquet(staged)
+    with pytest.raises(Exception):
+        unpruned.count()
+
+
+def test_assertion_fails_without_partition_filter(spark, staged):
+    allrows = spark.read.parquet(staged)  # no filter: every partition listed
+    with pytest.raises(AssertionError, match="PartitionFilters"):
+        assert_partition_pruned(allrows, "event_type")
+    # a non-partition-column filter must not count as pruning either
+    datafiltered = spark.read.parquet(staged).where(F.col("user_id") < 5)
+    with pytest.raises(AssertionError, match="PartitionFilters"):
+        assert_partition_pruned(datafiltered, "event_type")
+
+
+def test_partition_filters_lists_the_predicate(spark, staged):
+    clicks = spark.read.parquet(staged).where(F.col("event_type") == "click")
+    fs = partition_filters(clicks)
+    assert fs and all("event_type" in f for f in fs)
+
+
+def test_write_partitioned_validation(spark, sf001_dir, tmp_path):
+    ev = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    with pytest.raises(ValueError, match="at least one"):
+        write_partitioned(ev, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="not in columns"):
+        write_partitioned(ev, str(tmp_path / "x"), "nope")
