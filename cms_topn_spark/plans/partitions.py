@@ -67,10 +67,23 @@ def assert_partition_pruned(df: DataFrame, key: str) -> list:
     empirical counterpart lives in tests/test_partitions.py, where a
     corrupted sibling partition crashes a non-pruned scan and leaves the
     pruned one untouched."""
-    matching = [f for f in partition_filters(df) if key in f]
+    import re
+
+    # The key must appear as an attribute token (event_type#12 — not a
+    # substring of some other column) in a SELECTIVE predicate: Spark adds
+    # a bare isnotnull(key#N) partition filter for any non-null-tolerant
+    # comparison, and a regression that demotes the real predicate to a
+    # data filter would leave exactly that bare isnotnull behind — it must
+    # not satisfy this gate.
+    token = re.compile(rf"\b{re.escape(key)}#\d+")
+    matching = []
+    for f in partition_filters(df):
+        residual = re.sub(r"isnotnull\([^()]*\)", "", f)
+        if token.search(residual):
+            matching.append(f)
     if not matching:
         raise AssertionError(
-            f"no PartitionFilters on {key!r}: the scan would list every "
-            "partition directory"
+            f"no selective PartitionFilters on {key!r}: the scan would list "
+            "every (non-null) partition directory"
         )
     return matching

@@ -72,3 +72,13 @@ def test_write_partitioned_validation(spark, sf001_dir, tmp_path):
         write_partitioned(ev, str(tmp_path / "x"))
     with pytest.raises(ValueError, match="not in columns"):
         write_partitioned(ev, str(tmp_path / "x"), "nope")
+
+
+def test_bare_isnotnull_does_not_satisfy_the_gate(spark, staged):
+    """A regression that demotes the selective predicate to a data filter
+    leaves only isnotnull(key) as a partition filter — must not pass."""
+    only_nn = spark.read.parquet(staged).where(F.col("event_type").isNotNull())
+    fs = partition_filters(only_nn)
+    assert fs and all("isnotnull" in f for f in fs)  # precondition: filter exists
+    with pytest.raises(AssertionError, match="selective"):
+        assert_partition_pruned(only_nn, "event_type")
