@@ -384,6 +384,51 @@ def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation via ROLLUP (§2.4 exact aggregation): event
+    counts at (type, day), (type), and grand-total levels in ONE pass —
+    Catalyst's Expand operator replicates each input row once per grouping
+    set before a single hash aggregate, so the three levels cost one
+    shuffle, not three queries. NULL group cells are sentinel-filled
+    identically in both engines (no real NULLs exist in the gate columns)
+    and the grouping_id level tag disambiguates; day from the NTZ-safe
+    epoch-µs expression."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.expr(_EPOCH_US) / F.lit(86_400_000_000)).cast("long").alias("day"),
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.grouping("event_type") * 2 + F.grouping("day"))
+            .cast("long")
+            .alias("lvl"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit(-1).cast("long")).alias("day"),
+            "lvl",
+            "n",
+        )
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (§2.4): per-user counts spread across one column per event
+    type. The value list is EXPLICIT — with it, pivot is a single
+    groupBy(user_id) with conditional aggregates (one shuffle, stable
+    schema); without it Spark first runs a distinct-values job and the
+    output schema depends on the data, which is how pivots break at scale.
+    Absent combinations fill 0, matching the FILTER-aggregate oracle."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    out = ev.groupBy("user_id").pivot("event_type", types).count().na.fill(0)
+    return out.select(
+        "user_id", *[F.col(t).cast("long").alias(t) for t in types]
+    )
+
+
 def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1398,6 +1443,8 @@ _ORDER: dict[str, str] = {
     "range_join_attribution": "event_id",
     "stream_interval_join": "p_event_id, c_event_id",
     "partition_pruned_scan": "user_id",
+    "events_rollup": "lvl, event_type, day",
+    "events_pivot": "user_id",
     "bucketed_orders_join": "k",
     "stream_keyed_quantiles": "key",
     "cms_topn_event_types": "frequency DESC, item",
@@ -1522,13 +1569,19 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # grouped_user_freq→grouped_topn + cms_topn_frequency_probe,
     # incremental_dedup→exact_dedup + bloom_customer_semijoin which cover
     # its two mechanisms, quality_score→curate_corpus which composes the
-    # same lang+quality+repetition gates), and
+    # same lang+quality+repetition gates,
+    # cms_topn_union_partials→cms_topn_event_types (same oracle; the union
+    # path stays pinned by TestUnion/TestUnionAgg goldens),
+    # doc_fingerprints→winnow_fingerprints (the winnowed subset of the same
+    # rolling-hash scheme)), and
     # MUST rotate back in r7 (no query misses two rounds running).
     return {
         "asof_join_events": q_asof_join_events,
         "range_join_attribution": q_range_join_attribution,
         "stream_interval_join": q_stream_interval_join,
         "partition_pruned_scan": q_partition_pruned_scan,
+        "events_rollup": q_events_rollup,
+        "events_pivot": q_events_pivot,
         "bucketed_orders_join": q_bucketed_orders_join,
         "stream_keyed_quantiles": q_stream_keyed_quantiles,
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
@@ -1539,7 +1592,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topn_event_types": q_cms_topn_event_types,
         "cms_topn_doc_tokens": q_cms_topn_doc_tokens,
         "cms_topn_frequency_probe": q_cms_topn_frequency_probe,
-        "cms_topn_union_partials": q_cms_topn_union_partials,
         "hll_distinct_parts": q_hll_distinct_parts,
         "hll_users_by_type": q_hll_users_by_type,
         "kll_price_quantiles": q_kll_price_quantiles,
@@ -1564,7 +1616,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id_ngram": q_lang_id_ngram,
         "repetition_stats": q_repetition_stats,
-        "doc_fingerprints": q_doc_fingerprints,
         "tfidf_top_terms": q_tfidf_top_terms,
         "exact_dedup": q_exact_dedup,
         "contamination_report": q_contamination_report,
@@ -1583,6 +1634,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_user_freq": q_grouped_user_freq,
         "incremental_dedup": q_incremental_dedup,
         "quality_score": q_quality_score,
+        "cms_topn_union_partials": q_cms_topn_union_partials,
+        "doc_fingerprints": q_doc_fingerprints,
         "simhash_docs": q_simhash_docs,
         "jaccard_pairs": q_jaccard_pairs,
         "lang_id": q_lang_id,
@@ -1646,6 +1699,24 @@ def _raw_oracle_sql() -> dict[str, str]:
         "partition_pruned_scan": """
             SELECT user_id, count(*)::BIGINT AS n_clicks
             FROM events WHERE event_type = 'click' GROUP BY user_id
+        """,
+        "events_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(epoch_us(ts) // 86400000000, -1) AS day,
+                   (grouping(event_type) * 2
+                    + grouping(epoch_us(ts) // 86400000000))::BIGINT AS lvl,
+                   count(*)::BIGINT AS n
+            FROM events
+            GROUP BY ROLLUP(event_type, epoch_us(ts) // 86400000000)
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')::BIGINT AS click,
+                   count(*) FILTER (event_type = 'view')::BIGINT AS view,
+                   count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+                   count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+                   count(*) FILTER (event_type = 'error')::BIGINT AS error
+            FROM events GROUP BY user_id
         """,
         "bucketed_orders_join": """
             SELECT o_orderkey AS k, count(*)::BIGINT AS n_items,
