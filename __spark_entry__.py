@@ -302,6 +302,14 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EPOCH_US = (
     "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
 )  # == DuckDB epoch_us(ts); tz-free, integer-exact (see q_user_sessions)
+_DAY_US = 86_400_000_000
+
+
+def _day_col() -> "F.Column":
+    """Epoch-day bucket == DuckDB ``epoch_us(ts) // 86400000000`` — the ONE
+    definition every day-bucketed gate uses, so the oracles can't
+    desynchronize."""
+    return F.floor(F.expr(_EPOCH_US) / F.lit(_DAY_US)).cast("long")
 
 
 def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,10 +401,7 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines (no real NULLs exist in the gate columns)
     and the grouping_id level tag disambiguates; day from the NTZ-safe
     epoch-µs expression."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.floor(F.expr(_EPOCH_US) / F.lit(86_400_000_000)).cast("long").alias("day"),
-    )
+    ev = _t(spark, sf_dir, "events").select("event_type", _day_col().alias("day"))
     return (
         ev.rollup("event_type", "day")
         .agg(
@@ -423,7 +428,7 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     Absent combinations fill 0, matching the FILTER-aggregate oracle."""
     types = ["click", "view", "purchase", "signup", "error"]
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
-    out = ev.groupBy("user_id").pivot("event_type", types).count().na.fill(0)
+    out = ev.groupBy("user_id").pivot("event_type", types).count().na.fill(0, types)
     return out.select(
         "user_id", *[F.col(t).cast("long").alias(t) for t in types]
     )
@@ -1228,15 +1233,7 @@ def q_grouped_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression (== DuckDB epoch_us), integer-exact in both engines."""
     from cms_topn_spark.operators.grouped import grouped_distinct
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr(
-            "floor(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
-            " ts) / 86400000000)"
-        )
-        .cast("long")
-        .alias("day"),
-    )
+    ev = _t(spark, sf_dir, "events").select("user_id", _day_col().alias("day"))
     return grouped_distinct(ev, "user_id", "day", out_col="active_days")
 
 
