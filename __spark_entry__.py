@@ -392,6 +392,36 @@ def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window operator (§2.4 window functions),
+    complementing the hand-rolled lag/running-sum sessionize gate
+    (`user_sessions`): per-user gap-merged sessions from ONE groupBy — the
+    engine maintains the merge in its aggregation, no window-function
+    pass. Semantics differ from sessionize at the exact boundary:
+    session_window extends a session to last_ts + gap EXCLUSIVE, so a gap
+    of exactly 30 min starts a NEW session (>= rule), while sessionize's
+    `gap > threshold` keeps it — the oracle encodes the >= rule, and the
+    session start (min event time) + event count identify each session
+    integer-exactly in epoch µs."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " w.start)"
+            )
+            .cast("long")
+            .alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation via ROLLUP (§2.4 exact aggregation): event
     counts at (type, day), (type), and grand-total levels in ONE pass —
@@ -1442,6 +1472,7 @@ _ORDER: dict[str, str] = {
     "partition_pruned_scan": "user_id",
     "events_rollup": "lvl, event_type, day",
     "events_pivot": "user_id",
+    "session_window_counts": "user_id, session_start_us",
     "bucketed_orders_join": "k",
     "stream_keyed_quantiles": "key",
     "cms_topn_event_types": "frequency DESC, item",
@@ -1570,7 +1601,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cms_topn_union_partials→cms_topn_event_types (same oracle; the union
     # path stays pinned by TestUnion/TestUnionAgg goldens),
     # doc_fingerprints→winnow_fingerprints (the winnowed subset of the same
-    # rolling-hash scheme)), and
+    # rolling-hash scheme), doc_chunks→token_stats (the same tokenizer whose
+    # windows doc_chunks slices)), and
     # MUST rotate back in r7 (no query misses two rounds running).
     return {
         "asof_join_events": q_asof_join_events,
@@ -1579,6 +1611,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_pruned_scan": q_partition_pruned_scan,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
+        "session_window_counts": q_session_window_counts,
         "bucketed_orders_join": q_bucketed_orders_join,
         "stream_keyed_quantiles": q_stream_keyed_quantiles,
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
@@ -1617,7 +1650,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "contamination_report": q_contamination_report,
         "fingerprint_decontamination": q_fingerprint_decontamination,
-        "doc_chunks": q_doc_chunks,
         "corpus_profile_direct": q_corpus_profile_direct,
         "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1633,6 +1665,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "cms_topn_union_partials": q_cms_topn_union_partials,
         "doc_fingerprints": q_doc_fingerprints,
+        "doc_chunks": q_doc_chunks,
         "simhash_docs": q_simhash_docs,
         "jaccard_pairs": q_jaccard_pairs,
         "lang_id": q_lang_id,
@@ -1705,6 +1738,25 @@ def _raw_oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM events
             GROUP BY ROLLUP(event_type, epoch_us(ts) // 86400000000)
+        """,
+        "session_window_counts": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            marked AS (
+              SELECT user_id, us,
+                     CASE WHEN us - lag(us) OVER w IS NULL
+                               OR us - lag(us) OVER w >= 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+            ),
+            sess AS (
+              SELECT user_id, us,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id, min(us) AS session_start_us,
+                   count(*)::BIGINT AS n_events
+            FROM sess GROUP BY user_id, sid
         """,
         "events_pivot": """
             SELECT user_id,
