@@ -397,11 +397,13 @@ def q_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     complementing the hand-rolled lag/running-sum sessionize gate
     (`user_sessions`): per-user gap-merged sessions from ONE groupBy — the
     engine maintains the merge in its aggregation, no window-function
-    pass. Semantics differ from sessionize at the exact boundary:
-    session_window extends a session to last_ts + gap EXCLUSIVE, so a gap
-    of exactly 30 min starts a NEW session (>= rule), while sessionize's
-    `gap > threshold` keeps it — the oracle encodes the >= rule, and the
-    session start (min event time) + event count identify each session
+    pass. Boundary semantics verified EMPIRICALLY (pinned in
+    tests/test_partitions.py): a gap of exactly the threshold still
+    MERGES — the window end is inclusive for the merge — i.e. the same
+    strict `gap > threshold` split rule as sessionize; an early draft
+    assumed the >= rule and only the synthetic boundary test caught it
+    (the gate corpus's µs timestamps never land on the exact boundary).
+    Session start (min event time) + event count identify each session
     integer-exactly in epoch µs."""
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
     return (
@@ -1744,7 +1746,7 @@ def _raw_oracle_sql() -> dict[str, str]:
             marked AS (
               SELECT user_id, us,
                      CASE WHEN us - lag(us) OVER w IS NULL
-                               OR us - lag(us) OVER w >= 1800000000
+                               OR us - lag(us) OVER w > 1800000000
                           THEN 1 ELSE 0 END AS is_new
               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
             ),

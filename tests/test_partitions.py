@@ -82,3 +82,39 @@ def test_bare_isnotnull_does_not_satisfy_the_gate(spark, staged):
     assert fs and all("isnotnull" in f for f in fs)  # precondition: filter exists
     with pytest.raises(AssertionError, match="selective"):
         assert_partition_pruned(only_nn, "event_type")
+
+
+def test_session_window_boundary_vs_sessionize(spark):
+    """Pin the boundary rule the gate corpus never exercises: both the
+    built-in session_window and the hand-rolled sessionize MERGE a gap of
+    exactly the threshold and split one microsecond past it."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from cms_topn_spark.operators.sessions import sessionize
+
+    base = datetime.datetime(2024, 1, 1)
+    gap = datetime.timedelta(minutes=30)
+    rows = [
+        (1, 10, base),
+        (1, 11, base + gap),          # exactly 30 min later
+        (1, 12, base + gap + gap/2),  # 15 min after that
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp_ntz")
+    def n_builtin(frame):
+        return frame.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        ).count().count()
+
+    # exact-boundary gap MERGES under BOTH operators (strict > split rule;
+    # an assumed >= rule for session_window was wrong — this test caught it)
+    assert n_builtin(ev) == 1
+    assert sessionize(ev).count() == 1
+    just_over = ev.withColumn(
+        "ts",
+        F.when(F.col("event_id") >= 11, F.col("ts") + F.expr("INTERVAL 1 MICROSECOND"))
+        .otherwise(F.col("ts")),
+    )
+    assert n_builtin(just_over) == 2
+    assert sessionize(just_over).count() == 2
