@@ -1742,17 +1742,22 @@ def _raw_oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP(event_type, epoch_us(ts) // 86400000000)
         """,
         "session_window_counts": """
-            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            -- both window clauses order by (us, event_id): two
+            -- independently-sorted windows could place duplicate-timestamp
+            -- rows differently and split a session's is_new flag from its
+            -- running sum (session membership itself is tie-independent —
+            -- a 0 gap always merges — but the oracle must be deterministic)
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
             marked AS (
-              SELECT user_id, us,
+              SELECT user_id, event_id, us,
                      CASE WHEN us - lag(us) OVER w IS NULL
                                OR us - lag(us) OVER w > 1800000000
                           THEN 1 ELSE 0 END AS is_new
-              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
             ),
             sess AS (
               SELECT user_id, us,
-                     sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                                        ROWS UNBOUNDED PRECEDING) AS sid
               FROM marked
             )
