@@ -424,6 +424,24 @@ def q_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (§2.4 reshaping, pivot's inverse — the wide-to-long
+    step every ML feature table needs before per-feature aggregation):
+    the per-user pivoted counts melt back to (user_id, event_type, n)
+    rows INCLUDING explicit zeros, via the built-in DataFrame.unpivot
+    (Expand under the hood: one pass, rows × n_values, no shuffle beyond
+    the pivot's own). The oracle rebuilds the dense user × type grid with
+    a cross join + FILTER counts."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = q_events_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=types,
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation via ROLLUP (§2.4 exact aggregation): event
     counts at (type, day), (type), and grand-total levels in ONE pass —
@@ -1474,6 +1492,7 @@ _ORDER: dict[str, str] = {
     "partition_pruned_scan": "user_id",
     "events_rollup": "lvl, event_type, day",
     "events_pivot": "user_id",
+    "events_unpivot": "user_id, event_type",
     "session_window_counts": "user_id, session_start_us",
     "bucketed_orders_join": "k",
     "stream_keyed_quantiles": "key",
@@ -1604,7 +1623,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # path stays pinned by TestUnion/TestUnionAgg goldens),
     # doc_fingerprints→winnow_fingerprints (the winnowed subset of the same
     # rolling-hash scheme), doc_chunks→token_stats (the same tokenizer whose
-    # windows doc_chunks slices)), and
+    # windows doc_chunks slices), repetition_stats→curate_corpus (which
+    # composes the same repetition gate)), and
     # MUST rotate back in r7 (no query misses two rounds running).
     return {
         "asof_join_events": q_asof_join_events,
@@ -1613,6 +1633,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_pruned_scan": q_partition_pruned_scan,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
+        "events_unpivot": q_events_unpivot,
         "session_window_counts": q_session_window_counts,
         "bucketed_orders_join": q_bucketed_orders_join,
         "stream_keyed_quantiles": q_stream_keyed_quantiles,
@@ -1647,7 +1668,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_nations_revenue": q_top_nations_revenue,
         "token_stats": q_token_stats,
         "lang_id_ngram": q_lang_id_ngram,
-        "repetition_stats": q_repetition_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
         "exact_dedup": q_exact_dedup,
         "contamination_report": q_contamination_report,
@@ -1668,6 +1688,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topn_union_partials": q_cms_topn_union_partials,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_chunks": q_doc_chunks,
+        "repetition_stats": q_repetition_stats,
         "simhash_docs": q_simhash_docs,
         "jaccard_pairs": q_jaccard_pairs,
         "lang_id": q_lang_id,
@@ -1740,6 +1761,20 @@ def _raw_oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM events
             GROUP BY ROLLUP(event_type, epoch_us(ts) // 86400000000)
+        """,
+        "events_unpivot": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            t AS (
+              SELECT unnest(['click','view','purchase','signup','error'])
+                     AS event_type
+            ),
+            c AS (
+              SELECT user_id, event_type, count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT u.user_id, t.event_type, coalesce(c.n, 0)::BIGINT AS n
+            FROM u CROSS JOIN t
+            LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
         """,
         "session_window_counts": """
             -- both window clauses order by (us, event_id): two
