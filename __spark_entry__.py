@@ -424,6 +424,21 @@ def q_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/pipeline.py pack_documents) — the LLM
+    training-batch prep step: documents greedily packed into ≤256-token
+    groups. Packing is a sequential fold, so the scale form shards the
+    order first: id-mod buckets are packed independently in parallel (one
+    applyInPandas task per bucket; n_buckets sized to the cluster), and
+    the greedy boundary rule is matched EXACTLY by a recursive-CTE oracle
+    — pack membership, not just pack counts, is value-checked."""
+    from cms_topn_spark.operators.pipeline import pack_documents
+
+    return pack_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=256, n_buckets=8
+    )
+
+
 def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (§2.4 reshaping, pivot's inverse — the wide-to-long
     step every ML feature table needs before per-feature aggregation):
@@ -1494,6 +1509,7 @@ _ORDER: dict[str, str] = {
     "events_pivot": "user_id",
     "events_unpivot": "user_id, event_type",
     "session_window_counts": "user_id, session_start_us",
+    "seq_packing": "doc_id",
     "bucketed_orders_join": "k",
     "stream_keyed_quantiles": "key",
     "cms_topn_event_types": "frequency DESC, item",
@@ -1624,7 +1640,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_fingerprints→winnow_fingerprints (the winnowed subset of the same
     # rolling-hash scheme), doc_chunks→token_stats (the same tokenizer whose
     # windows doc_chunks slices), repetition_stats→curate_corpus (which
-    # composes the same repetition gate)), and
+    # composes the same repetition gate),
+    # contamination_report→fingerprint_decontamination (the corpus-level
+    # variant of the same decontamination check)), and
     # MUST rotate back in r7 (no query misses two rounds running).
     return {
         "asof_join_events": q_asof_join_events,
@@ -1635,6 +1653,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "events_unpivot": q_events_unpivot,
         "session_window_counts": q_session_window_counts,
+        "seq_packing": q_seq_packing,
         "bucketed_orders_join": q_bucketed_orders_join,
         "stream_keyed_quantiles": q_stream_keyed_quantiles,
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
@@ -1670,7 +1689,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "tfidf_top_terms": q_tfidf_top_terms,
         "exact_dedup": q_exact_dedup,
-        "contamination_report": q_contamination_report,
         "fingerprint_decontamination": q_fingerprint_decontamination,
         "corpus_profile_direct": q_corpus_profile_direct,
         "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
@@ -1689,6 +1707,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "doc_chunks": q_doc_chunks,
         "repetition_stats": q_repetition_stats,
+        "contamination_report": q_contamination_report,
         "simhash_docs": q_simhash_docs,
         "jaccard_pairs": q_jaccard_pairs,
         "lang_id": q_lang_id,
@@ -1703,6 +1722,8 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _raw_oracle_sql() -> dict[str, str]:
+    from cms_topn_spark.operators import pipeline
+
     jaccard = dedup.jaccard_pairs_sql("documents", 0.8)
     sql = {
         "asof_join_events": """
@@ -2094,6 +2115,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "simhash_docs": dedup.simhash_sql(),
         "simhash_near_pairs": dedup.simhash_near_pairs_sql(max_hamming=3),
         "curate_corpus": _pipeline_sql(),
+        "seq_packing": pipeline.pack_documents_sql(max_tokens=256, n_buckets=8),
         "stratified_sample": _stratified_sample_sql(),
     }
     # the direct-ingest twin gates the SAME statistics — alias, don't copy,

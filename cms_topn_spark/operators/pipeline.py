@@ -198,3 +198,102 @@ def curate_sql(
            min(n_tokens) AS n_tokens, count(*)::BIGINT AS copies
     FROM kept GROUP BY text
     """
+
+
+def pack_documents(
+    df: DataFrame,
+    max_tokens: int,
+    n_buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for LLM training batches: assign documents to
+    contiguous ≤``max_tokens`` packs.
+
+    Packing is inherently a sequential fold (each pack's boundary depends
+    on every doc before it), so a single global greedy pass cannot be
+    distributed. The scale form fixes the order FIRST and shards it:
+    documents hash into ``n_buckets`` independent streams (bucket =
+    id mod n_buckets), each bucket is packed greedily in id order by one
+    task, and buckets run in parallel. At 100 TB, n_buckets ≈ a few × the
+    cluster's cores bounds each task's stream; pack quality is unchanged
+    because the greedy rule only wastes at most one document's tokens per
+    pack boundary regardless of sharding.
+
+    Greedy rule (deterministic, matched exactly by the recursive-CTE
+    oracle): a pack closes when adding the next document would exceed
+    ``max_tokens``; a document larger than ``max_tokens`` sits alone in
+    its own pack. Token count = whitespace tokens, the repo-wide
+    ``len(split(text, ' '))`` convention.
+
+    Returns (id_col, bucket, pack_id, n_tokens) — pack_id is per-bucket,
+    dense from 0 in id order.
+    """
+    import pandas as pd
+
+    if max_tokens <= 0:
+        raise ValueError("pack_documents: max_tokens must be positive")
+    if n_buckets <= 0:
+        raise ValueError("pack_documents: n_buckets must be positive")
+
+    toks = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(int(n_buckets))).cast("long").alias("bucket"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+
+    cap = int(max_tokens)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        pack_ids = []
+        pid, acc = 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if not first and acc + n > cap:
+                pid += 1
+                acc = n
+            else:
+                acc += n
+            first = False
+            pack_ids.append(pid)
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf[[id_col, "bucket", "pack_id", "n_tokens"]]
+
+    schema = f"{id_col} long, bucket long, pack_id long, n_tokens long"
+    return toks.groupBy("bucket").applyInPandas(pack, schema)
+
+
+def pack_documents_sql(
+    max_tokens: int,
+    n_buckets: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """The recursive-CTE oracle: identical greedy rule, row by row."""
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT {id_col}, {id_col} % {int(n_buckets)} AS bucket,
+             len(string_split({text_col}, ' '))::BIGINT AS n_tokens
+      FROM {table}
+    ),
+    d AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY {id_col}) AS rn
+      FROM toks
+    ),
+    packed AS (
+      SELECT bucket, rn, {id_col}, n_tokens, 0::BIGINT AS pack_id,
+             n_tokens AS acc
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.bucket, d.rn, d.{id_col}, d.n_tokens,
+             CASE WHEN p.acc + d.n_tokens > {int(max_tokens)}
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.acc + d.n_tokens > {int(max_tokens)}
+                  THEN d.n_tokens ELSE p.acc + d.n_tokens END
+      FROM packed p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+    )
+    SELECT {id_col}, bucket, pack_id, n_tokens FROM packed
+    """

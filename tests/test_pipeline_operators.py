@@ -799,3 +799,69 @@ class TestFingerprintContamination:
             docs.where(F.col("doc_id") % 2 == 1),
         )
         assert out.count() >= 0
+
+
+class TestPackDocuments:
+    def _docs(self, spark, texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_greedy_boundaries_exact_fit_and_oversize(self, spark):
+        from cms_topn_spark.operators.pipeline import pack_documents
+
+        # one bucket: token counts 3, 3, 2, 9, 1 with cap 6:
+        # [3,3] fills pack 0 exactly; 2 opens pack 1; oversize 9 sits alone
+        # in pack 2; 1 opens pack 3 (acc after oversize already > cap)
+        texts = ["a b c", "d e f", "g h", " ".join("x" * 1 for _ in range(9)), "z"]
+        out = {
+            r["doc_id"]: (r["pack_id"], r["n_tokens"])
+            for r in pack_documents(
+                self._docs(spark, texts), max_tokens=6, n_buckets=1
+            ).collect()
+        }
+        assert out == {0: (0, 3), 1: (0, 3), 2: (1, 2), 3: (2, 9), 4: (3, 1)}
+
+    def test_matches_duckdb_recursive_oracle(self, spark):
+        import duckdb
+        import numpy as np
+
+        from cms_topn_spark.operators.pipeline import pack_documents, pack_documents_sql
+
+        rng = np.random.default_rng(5)
+        texts = [" ".join(["t"] * int(n)) for n in rng.integers(1, 40, 200)]
+        df = self._docs(spark, texts)
+        got = sorted(
+            tuple(r) for r in pack_documents(df, max_tokens=64, n_buckets=4).collect()
+        )
+        con = duckdb.connect()
+        con.register("documents", df.toPandas())
+        exp = sorted(
+            tuple(r)
+            for r in con.execute(pack_documents_sql(64, 4)).fetchall()
+        )
+        assert got == exp
+
+    def test_partitioning_invariance(self, spark):
+        import numpy as np
+
+        from cms_topn_spark.operators.pipeline import pack_documents
+
+        rng = np.random.default_rng(9)
+        texts = [" ".join(["t"] * int(n)) for n in rng.integers(1, 40, 150)]
+        df = self._docs(spark, texts)
+        a = sorted(tuple(r) for r in pack_documents(df, 64, 4).collect())
+        b = sorted(
+            tuple(r) for r in pack_documents(df.repartition(7), 64, 4).collect()
+        )
+        assert a == b
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from cms_topn_spark.operators.pipeline import pack_documents
+
+        df = self._docs(spark, ["a"])
+        with _pytest.raises(ValueError, match="max_tokens"):
+            pack_documents(df, 0, 4)
+        with _pytest.raises(ValueError, match="n_buckets"):
+            pack_documents(df, 64, 0)
