@@ -275,7 +275,11 @@ def pack_documents_sql(
     """The recursive-CTE oracle: identical greedy rule, row by row."""
     return f"""
     WITH RECURSIVE toks AS (
-      SELECT {id_col}, {id_col} % {int(n_buckets)} AS bucket,
+      -- pmod-equivalent: SQL % keeps the sign of the dividend, Spark's
+      -- F.pmod is always non-negative; double-mod matches pmod for any id
+      SELECT {id_col},
+             (({id_col} % {int(n_buckets)}) + {int(n_buckets)})
+               % {int(n_buckets)} AS bucket,
              len(string_split({text_col}, ' '))::BIGINT AS n_tokens
       FROM {table}
     ),

@@ -865,3 +865,16 @@ class TestPackDocuments:
             pack_documents(df, 0, 4)
         with _pytest.raises(ValueError, match="n_buckets"):
             pack_documents(df, 64, 0)
+
+    def test_negative_ids_agree_with_oracle(self, spark):
+        import duckdb
+
+        from cms_topn_spark.operators.pipeline import pack_documents, pack_documents_sql
+
+        rows = [(i, " ".join(["t"] * (3 + (i % 5)))) for i in range(-10, 10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(tuple(r) for r in pack_documents(df, 8, 4).collect())
+        con = duckdb.connect()
+        con.register("documents", df.toPandas())
+        exp = sorted(tuple(r) for r in con.execute(pack_documents_sql(8, 4)).fetchall())
+        assert got == exp
