@@ -388,3 +388,80 @@ def test_asof_join_bad_direction(spark):
             right_time="rt",
             direction="nearest",
         )
+
+
+# ---------------------------------------------------------------- fuzzing
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_small = st.integers(min_value=0, max_value=6)
+_times = st.one_of(st.none(), st.integers(min_value=0, max_value=12))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    lrows=st.lists(st.tuples(_small, _times), min_size=1, max_size=12),
+    rrows=st.lists(st.tuples(_small, _times), min_size=0, max_size=12),
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+)
+def test_asof_join_fuzz_vs_duckdb(spark, lrows, rrows, direction, tolerance):
+    """Tie-dense, NULL-dense fuzz: tiny key/time domains force the exact
+    collisions (equal times, NULL keys/times, empty right side) the seeded
+    parity tests only sample."""
+    lpd = pd.DataFrame(
+        {
+            "k": pd.array([k for k, _ in lrows], dtype="Int64"),
+            "lt": pd.array([t for _, t in lrows], dtype="Int64"),
+            "lid": np.arange(len(lrows), dtype="int64"),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": pd.array([k for k, _ in rrows], dtype="Int64"),
+            "rt": pd.array([t for _, t in rrows], dtype="Int64"),
+            "rid": np.arange(len(rrows), dtype="int64"),
+        }
+    )
+    l = spark.createDataFrame(lpd, "k long, lt long, lid long")
+    r = spark.createDataFrame(rpd, "k long, rt long, rid long")
+    out = (
+        asof_join(
+            l, r, on="k", left_time="lt", right_time="rt",
+            right_tiebreak="rid", tolerance=tolerance, direction=direction,
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    if direction == "backward":
+        pred = "r.rt <= l.lt"
+        order = "r.rt DESC NULLS LAST, r.rid DESC NULLS LAST"
+        tol_pred = "" if tolerance is None else f"AND l.lt - r.rt <= {tolerance}"
+    else:
+        pred = "r.rt >= l.lt"
+        order = "r.rt ASC NULLS LAST, r.rid ASC NULLS LAST"
+        tol_pred = "" if tolerance is None else f"AND r.rt - l.lt <= {tolerance}"
+    con = duckdb.connect()
+    con.register("l", lpd)
+    con.register("r", rpd)
+    exp = (
+        con.execute(
+            f"""
+            SELECT l.k, l.lt, l.lid, r.rt, r.rid
+            FROM l LEFT JOIN r ON r.k = l.k AND {pred} {tol_pred}
+            QUALIFY row_number() OVER (PARTITION BY l.lid ORDER BY {order}) = 1
+            ORDER BY lid
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["k", "lt", "lid", "rt", "rid"]], exp, check_dtype=False
+    )
