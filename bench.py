@@ -698,11 +698,17 @@ def compact_summary(full: dict) -> dict:
     }
     sc = full.get("scaling")
     if sc:
+        # derive the level keys from the record (localN), not a hardcoded
+        # (2, 8): a non-default SCALING_LEVELS run must not KeyError the
+        # summary after the whole bench has finished
+        level_keys = sorted(
+            (k for k in sc if k.startswith("local") and k[5:].isdigit()),
+            key=lambda k: int(k[5:]),
+        )
         out["scaling"] = {
             "docs": sc["docs"],
             "docs_per_sec": {
-                "2": sc["local2"]["docs_per_sec"],
-                "8": sc["local8"]["docs_per_sec"],
+                k[5:]: sc[k]["docs_per_sec"] for k in level_keys
             },
             "efficiency": sc["efficiency"],
             "efficiency_raw": sc["efficiency_raw"],
@@ -821,8 +827,12 @@ def main() -> None:
         if scaling_28 is None
         else {
                     "docs": SCALING_DOCS,
-                    "local2": scaling_28[2],
-                    "local8": scaling_28[8],
+                    # level keys derived from the run (localN), matching
+                    # compact_summary's derivation — no hardcoded pair
+                    **{
+                        f"local{lv}": scaling_28[lv]
+                        for lv in sorted(k for k in scaling_28 if isinstance(k, int))
+                    },
                     "efficiency": scaling_28["efficiency"],
                     "efficiency_raw": scaling_28["efficiency_raw"],
                     # median-based efficiency: the conservative fixed-protocol

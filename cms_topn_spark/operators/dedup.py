@@ -127,8 +127,17 @@ def jaccard_pairs_exact(
 
     Scale note: the self-join fan-out is Σ df(g)² over shingle document
     frequencies — fine while no shingle is ubiquitous, quadratic where one is.
-    At 100 TB use :func:`jaccard_pairs_pruned`, which bounds df(g) first."""
-    return _jaccard_from_shingles(_shingle_rows(df, id_col, text_col), threshold, id_col)
+    At 100 TB use :func:`jaccard_pairs_pruned`, which bounds df(g) first.
+
+    The shingle frame is consumed by THREE plan branches (per-doc sizes and
+    both sides of the inverted-index self-join); staging it once via
+    localCheckpoint keeps the corpus scan + explode + hash at exactly one
+    pass — unstaged, the final AQE plan re-scans the source per branch (the
+    measured round-6 defect: 8 FileScans in the pruned form). At petabyte
+    scale write this stage to parquet instead; it is O(corpus tokens) like
+    any tokenized intermediate."""
+    sh = _shingle_rows(df, id_col, text_col).localCheckpoint(eager=True)
+    return _jaccard_from_shingles(sh, threshold, id_col)
 
 
 def jaccard_pairs_pruned(
@@ -152,8 +161,16 @@ def jaccard_pairs_pruned(
 
     The df computation is one extra groupBy on the same uniformly-distributed
     key the join shuffles on; documents left with zero surviving shingles drop
-    out of the pair search entirely (they can only pair at similarity 0)."""
-    sh = _shingle_rows(df, id_col, text_col)
+    out of the pair search entirely (they can only pair at similarity 0).
+
+    Both shared subframes are staged: ``sh`` feeds the df aggregation AND the
+    pruning join (one corpus scan instead of two inside the ``kept`` job),
+    and ``kept`` feeds three branches of :func:`_jaccard_from_shingles`
+    (sizes + both self-join sides). Unstaged, the final AQE plan executed
+    8 distinct FileScans over the corpus (measured round 6) — 8× the
+    dominant cost at 100 TB. At petabyte scale these stages go to parquet;
+    here localCheckpoint (memory+disk) is the single-job form."""
+    sh = _shingle_rows(df, id_col, text_col).localCheckpoint(eager=True)
     # shingle_expr emits DISTINCT shingles per doc ⇒ count(*) per g == df(g)
     rare = (
         sh.groupBy("g")
@@ -161,7 +178,7 @@ def jaccard_pairs_pruned(
         .where(F.col("df") <= max_df)
         .select("g")
     )
-    kept = sh.join(rare, "g")
+    kept = sh.join(rare, "g").localCheckpoint(eager=True)
     return _jaccard_from_shingles(kept, threshold, id_col)
 
 

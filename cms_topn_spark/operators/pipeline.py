@@ -228,6 +228,12 @@ def pack_documents(
 
     Returns (id_col, bucket, pack_id, n_tokens) — pack_id is per-bucket,
     dense from 0 in id order.
+
+    NULL id/text rows are excluded up front: a NULL id has no bucket or
+    position in the id order, and a NULL text has no token count (Spark's
+    legacy ``size(split(NULL))`` yields -1 where DuckDB yields NULL — left
+    in, the two engines would silently diverge). The greedy fold's input is
+    therefore well-defined; the SQL oracle applies the identical filter.
     """
     import pandas as pd
 
@@ -236,6 +242,7 @@ def pack_documents(
     if n_buckets <= 0:
         raise ValueError("pack_documents: n_buckets must be positive")
 
+    df = df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
     toks = df.select(
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(int(n_buckets))).cast("long").alias("bucket"),
@@ -282,6 +289,10 @@ def pack_documents_sql(
                % {int(n_buckets)} AS bucket,
              len(string_split({text_col}, ' '))::BIGINT AS n_tokens
       FROM {table}
+      -- mirror of the engine's NULL exclusion: NULL ids have no
+      -- bucket/order, NULL texts no token count (engines disagree on
+      -- len(split(NULL)): Spark legacy -1 vs DuckDB NULL)
+      WHERE {id_col} IS NOT NULL AND {text_col} IS NOT NULL
     ),
     d AS (
       SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY {id_col}) AS rn

@@ -343,13 +343,24 @@ def tfidf_top_terms(
     doc-term, so count(*) = document frequency) → join scores back on term
     (vocabulary-sized side — AQE broadcasts it when it fits, shuffle-joins
     otherwise) → per-doc window top-k. Every shuffle key is uniformly
-    distributed; nothing is corpus-broadcast or driver-side."""
+    distributed; nothing is corpus-broadcast or driver-side.
+
+    The tf frame feeds TWO branches (the df aggregation and the score join),
+    so it is staged once via localCheckpoint: unstaged, the final AQE plan
+    materialized two independent ShuffleQueryStages, each paying its own
+    corpus scan + tokenize + partial aggregate (the measured round-6
+    defect). One scan, one tf shuffle. At petabyte scale this stage goes to
+    a parquet intermediate instead."""
     from pyspark.sql.window import Window
 
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
-    tf = tok.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    tf = (
+        tok.groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     scored = tf.join(dfreq, "term").withColumn(
         "score", F.col("tf").cast("double") / F.col("df")

@@ -106,3 +106,34 @@ def exchange_count(df: DataFrame) -> int:
     producing Exchange already was."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return sum(1 for m in _EXCHANGE_NODE.finditer(plan) if m.group(1) != "ReusedExchange")
+
+
+# file-source leaves in the executed plan: "FileScan parquet ..." (also csv/
+# json/orc/text). Node-anchored like _EXCHANGE_NODE so ReadSchema contents or
+# column names containing "FileScan" can't trip it.
+_FILESCAN_NODE = re.compile(r"(?m)^[\s:+\-*()\d]*FileScan\b")
+
+
+def scan_count(df: DataFrame) -> int:
+    """Number of FileScan leaves in the FINAL executed plan — the redundant-
+    corpus-scan regression metric (round-6 verdict: two operators silently
+    re-scanned their source 2× and 8× because a shared subframe was
+    unstaged; Exchange counting missed it two rounds running).
+
+    AQE only finalizes a frame's OWN QueryExecution when the frame itself is
+    executed (a derived count() finalizes the derived plan, not this one), so
+    this helper collect()s the frame first — callers pass frames over
+    sf0.001-sized inputs, so the action is cheap. The finalized toString()
+    carries an "== Initial Plan ==" echo section; only the final-plan section
+    is counted. ReusedExchange subtrees print as references (their FileScan
+    is not re-listed), so the count is of DISTINCT executed scans. Staged
+    operators (localCheckpoint/persist of the shared subframe) pay their
+    corpus scan inside the one-time staging job, so their FINAL plan has 0
+    FileScans — the declared expectation per operator is what the regression
+    gate pins."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cut = plan.find("== Initial Plan ==")
+    if cut != -1:
+        plan = plan[:cut]
+    return len(_FILESCAN_NODE.findall(plan))

@@ -108,6 +108,23 @@ def test_final_line_without_scaling_sections():
     assert set(parsed["queries"]) == set(bench.HEADLINE)
 
 
+def test_compact_summary_non_default_levels():
+    """compact_summary derives the level keys from the record (localN), so a
+    non-default SCALING_LEVELS run cannot KeyError after the bench finished
+    (round-6 ADVICE: it hardcoded local2/local8)."""
+    full = _worst_case_full()
+    sc = full["scaling"]
+    sc["local4"] = sc.pop("local2")
+    sc["local16"] = sc.pop("local8")
+    out = bench.compact_summary(full)
+    assert out["scaling"]["docs_per_sec"] == {
+        "4": sc["local4"]["docs_per_sec"],
+        "16": sc["local16"]["docs_per_sec"],
+    }
+    # derived keys sort numerically, not lexically ("16" after "4")
+    assert list(out["scaling"]["docs_per_sec"]) == ["4", "16"]
+
+
 def _fake_clock(monkeypatch):
     clock = {"t": 0.0}
     monkeypatch.setattr(bench.time, "monotonic", lambda: clock["t"])

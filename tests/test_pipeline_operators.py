@@ -866,6 +866,28 @@ class TestPackDocuments:
         with _pytest.raises(ValueError, match="n_buckets"):
             pack_documents(df, 64, 0)
 
+    def test_null_id_or_text_rows_excluded(self, spark):
+        """NULL ids have no bucket/order and NULL texts no token count —
+        both are filtered before the greedy fold (round-6 ADVICE: Spark's
+        legacy size(split(NULL)) = -1 vs DuckDB NULL silently diverged)."""
+        import duckdb
+
+        from cms_topn_spark.operators.pipeline import pack_documents, pack_documents_sql
+
+        rows = [(0, "a b"), (1, None), (None, "c d"), (2, "e f g"), (3, "h")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(tuple(r) for r in pack_documents(df, 4, 2).collect())
+        assert {r[0] for r in got} == {0, 2, 3}
+        assert all(r[3] >= 1 for r in got)  # no -1 sentinel token counts
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            "(0, 'a b'), (1, NULL), (NULL, 'c d'), (2, 'e f g'), (3, 'h')"
+            ") t(doc_id, text)"
+        )
+        exp = sorted(tuple(r) for r in con.execute(pack_documents_sql(4, 2)).fetchall())
+        assert got == exp
+
     def test_negative_ids_agree_with_oracle(self, spark):
         import duckdb
 

@@ -37,12 +37,19 @@ def norm_cell(v):
 def _cell_key(c):
     # NULL/NaN-safe sort key: NULLs first, then strings apart from numbers
     # (norm_cell maps NaN to the string "NaN", so a float column with NaNs
-    # mixes types), then the value itself (equal values — including
-    # int/float mixes like 1 vs 1.0 — get equal keys, so two equal multisets
-    # always sort into pairwise-equal lists).
+    # mixes types), then the value itself. Numeric cells carry NO str(c)
+    # tiebreaker: Python compares int/float exactly, so 1 and 1.0 get
+    # sort-equal keys (and compare == in the final rowset check), whereas
+    # str(c) made their keys unequal and could sort two equal multisets
+    # into pairwise-unequal lists when a column mixes numeric types.
+    # Non-numeric, non-string cells (dates, bytes) keep the repr tiebreak.
     if c is None:
-        return (0, False, 0)
-    return (1, isinstance(c, str), 0 if isinstance(c, str) else c, str(c))
+        return (0, False, 0, "")
+    if isinstance(c, str):
+        return (1, True, 0, c)
+    if isinstance(c, (bool, int, float)):
+        return (1, False, c, "")
+    return (1, False, c, str(c))
 
 
 def rowset(cols: list[str], rows: list[tuple]):
@@ -66,9 +73,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.monotonic()
         try:
             df = fn(spark, sf_dir)
@@ -106,7 +115,9 @@ def main() -> int:
                 print("   first diffs:", diff)
             failures.append(name)
     spark.stop()
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    # denominator = queries actually executed (a name filter shrinks it),
+    # not the registry size — "67/67" for a 17-query run misleads in logs
+    print(f"\n{ran - len(failures)}/{ran} queries pass ({len(qs)} registered)")
     return 1 if failures else 0
 
 
