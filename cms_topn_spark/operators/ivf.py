@@ -132,28 +132,26 @@ def ivf_assign(
     return df.select(id_col, vec_col).mapInArrow(assign, "vec_id long, cell int")
 
 
-def ivf_topk(
+def _ivf_search(
     df: DataFrame,
+    cents: np.ndarray,
+    assigned: DataFrame,
     query_ids: list[int],
-    k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    iters: int = 3,
+    k: int,
+    n_probe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN top-k: probe the n_probe nearest cells per query, exact cosine
-    re-rank inside candidates. Output (query_id, neighbor_id, rank) — the
-    same schema as brute_force_topk/lsh_topk; n_probe == n_cells makes the
-    candidate set the whole corpus (recall 1 by construction)."""
+    """The query stage shared by :func:`ivf_topk` (refit-per-call) and
+    :func:`ivf_query` (build-once-load-query): probe cells → candidate join
+    → exact cosine re-rank. Identical code path is what makes the two
+    lifecycles answer identically (parity pytest-pinned)."""
     spark = df.sparkSession
     empty_schema = "query_id long, neighbor_id long, rank int"
     qids = [int(q) for q in query_ids]
     qrows = df.where(F.col(id_col).isin(qids)).select(id_col, vec_col).collect()
     if not qrows:
         return spark.createDataFrame([], empty_schema)
-    cents = kmeans_fit(df, n_cells, iters, id_col, vec_col)
-    assigned = ivf_assign(df, cents, id_col, vec_col)
     q_mat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     d2 = (q_mat * q_mat).sum(1)[:, None] - 2.0 * (q_mat @ cents.T)
     d2 += (cents * cents).sum(1)[None, :]
@@ -191,4 +189,123 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k, refit-per-call form: probe the n_probe nearest cells
+    per query, exact cosine re-rank inside candidates. Output (query_id,
+    neighbor_id, rank) — the same schema as brute_force_topk/lsh_topk;
+    n_probe == n_cells makes the candidate set the whole corpus (recall 1
+    by construction).
+
+    This form refits k-means and reassigns the corpus on EVERY call — fine
+    for one-shot jobs, wrong for a serving pipeline. At 100 TB build the
+    index once with :func:`ivf_build` (a persisted parquet stage, the same
+    build-once-serve-many shape as the reference's COPY round-trip of a
+    serialized sketch, output/copy.source:9-17) and answer query batches via
+    :func:`ivf_query`; both paths share :func:`_ivf_search`, so answers are
+    identical by construction."""
+    cents = kmeans_fit(df, n_cells, iters, id_col, vec_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    return _ivf_search(df, cents, assigned, query_ids, k, n_probe, id_col, vec_col)
+
+
+class IvfIndex:
+    """Handle over a built (or loaded) IVF index stage: the centroid matrix
+    plus the corpus cell-assignment DataFrame. Embeddings themselves stay in
+    the corpus table — the index holds only the coarse-quantizer state, so
+    its size is O(n_cells·dim + n_vectors·12 bytes) regardless of dim."""
+
+    def __init__(self, centroids: np.ndarray, assignments: DataFrame, iters: int):
+        self.centroids = centroids
+        self.assignments = assignments
+        self.n_cells = int(centroids.shape[0])
+        self.iters = int(iters)
+
+
+def ivf_build(
+    df: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Build the IVF index ONCE and persist it as a parquet stage:
+
+    - ``centroids.parquet`` (cell, centroid array<double>) — tiny;
+    - ``assignments.parquet`` (vec_id, cell) — one 12-byte row per vector,
+      written with the corpus's own partitioning (no shuffle: assignment is
+      a map-only scan). At scale this column is what you bucket/partition
+      the corpus by;
+    - ``meta.parquet`` — (n_cells, dim, iters), the fit configuration.
+
+    float64 centroids round-trip bit-exactly through parquet doubles, so a
+    loaded index answers queries byte-identically to the in-memory one
+    (parity pytest-pinned). Returns the in-memory handle so build-then-query
+    needs no immediate re-read."""
+    spark = df.sparkSession
+    cents = kmeans_fit(df, n_cells, iters, id_col, vec_col)
+    spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    assigned.write.mode("overwrite").parquet(f"{index_dir}/assignments.parquet")
+    spark.createDataFrame(
+        [(int(n_cells), int(cents.shape[1]), int(iters))],
+        "n_cells int, dim int, iters int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta.parquet")
+    return IvfIndex(cents, spark.read.parquet(f"{index_dir}/assignments.parquet"), iters)
+
+
+def ivf_load(spark, index_dir: str) -> IvfIndex:
+    """Load a persisted IVF index stage. The centroid matrix is rebuilt in
+    cell order (rows may arrive in any order from parquet); assignments stay
+    a lazy DataFrame — at scale they are the big half of the index and are
+    only ever consumed through the cell equi-join."""
+    meta = spark.read.parquet(f"{index_dir}/meta.parquet").collect()[0]
+    cents = np.zeros((meta.n_cells, meta.dim), dtype=np.float64)
+    seen = np.zeros(meta.n_cells, dtype=bool)
+    for r in spark.read.parquet(f"{index_dir}/centroids.parquet").collect():
+        cents[r["cell"]] = r["centroid"]
+        seen[r["cell"]] = True
+    if not seen.all():
+        raise ValueError(
+            f"IVF index at {index_dir} is missing centroids for cells "
+            f"{np.flatnonzero(~seen).tolist()} — truncated or partial write"
+        )
+    return IvfIndex(cents, spark.read.parquet(f"{index_dir}/assignments.parquet"), meta.iters)
+
+
+def ivf_query(
+    index: IvfIndex,
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Answer a query batch through a built/loaded index — no refit, no
+    reassignment; the only corpus access is fetching the query vectors and
+    the candidate embeddings by id. Same output schema and (via
+    :func:`_ivf_search`) same answers as :func:`ivf_topk` at equal
+    configuration."""
+    if n_probe > index.n_cells:
+        raise ValueError(
+            f"n_probe={n_probe} exceeds the index's n_cells={index.n_cells}"
+        )
+    return _ivf_search(
+        df, index.centroids, index.assignments, query_ids, k, n_probe, id_col, vec_col
     )
