@@ -1471,6 +1471,32 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_anti_join(new, "digest", old, "digest", capacity=cap, fpp=1e-9)
 
 
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup (operators/dedup.py incremental_near_dup,
+    round-7 verdict #4): the prior corpus (doc_id ≢ 0 mod 3) is persisted
+    once as a MinHash feature index (band keys + gram sets, a parquet
+    stage); the new batch (doc_id ≡ 0 mod 3) runs the kernel pass over
+    ITSELF ONLY and joins its band keys against the stage — the old corpus
+    text is never re-scanned or re-hashed. Emits all Jaccard-≥0.8 pairs
+    touching the batch (batch-vs-prior and batch-vs-batch); oracle = the
+    exact all-pairs Jaccard SQL over old∪new restricted to batch-touching
+    pairs, so the gate certifies the incremental path equals batch-vs-all
+    exact at the threshold."""
+    from cms_topn_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_index_build,
+        minhash_index_load,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = _ann_index_dir(sf_dir, "minhash")
+    if not os.path.exists(os.path.join(d, "features.parquet")):
+        minhash_index_build(docs.where(F.col("doc_id") % 3 != 0), d)
+    idx = minhash_index_load(spark, d)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    return incremental_near_dup(batch, idx, threshold=0.8)
+
+
 def q_fingerprint_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-vs-corpus decontamination at the TRAIN-scale shape
     (operators/dedup.py fingerprint_contamination): both sides collapse to
@@ -1606,6 +1632,7 @@ _ORDER: dict[str, str] = {
     "tfidf_top_terms": "doc_id, rank",
     "exact_dedup": "doc_id",
     "incremental_dedup": "doc_id",
+    "incremental_near_dup": "a_id, b_id",
     "contamination_report": "eval_id",
     "fingerprint_decontamination": "eval_id",
     "doc_chunks": "doc_id, chunk_id",
@@ -1707,6 +1734,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 additions (no prior record) lead
         "ann_ivf_built_topk": q_ann_ivf_built_topk,
         "ann_lsh_built_topk": q_ann_lsh_built_topk,
+        "incremental_near_dup": q_incremental_near_dup,
         "asof_join_events": q_asof_join_events,
         "range_join_attribution": q_range_join_attribution,
         "stream_interval_join": q_stream_interval_join,
@@ -2082,6 +2110,12 @@ def _raw_oracle_sql() -> dict[str, str]:
             SELECT doc_id, digest FROM new
             WHERE digest NOT IN (SELECT digest FROM old)
         """,
+        # incremental path == batch-touching subset of the exact all-pairs
+        # operator (32×4 banding miss prob < 1e-7 at s=0.8, as minhash_lsh_pairs)
+        "incremental_near_dup": (
+            f"SELECT * FROM ({dedup.jaccard_pairs_sql('documents', 0.8)})"
+            " WHERE a_id % 3 = 0 OR b_id % 3 = 0"
+        ),
         "doc_chunks": textops.chunk_documents_sql(
             "documents", chunk_tokens=32, stride=16
         ),

@@ -644,6 +644,93 @@ def minhash_doc_features(
     )
 
 
+def minhash_index_build(df: DataFrame, index_dir: str, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Persist :func:`minhash_doc_features` as a parquet index stage — the
+    at-scale move the LSH docstring names: the corpus's band keys + gram
+    sets are computed ONCE (the expensive scan+tokenize kernel pass) and
+    every later batch dedups against the stage without re-touching the old
+    corpus text. The same build-once-serve-many lifecycle as the ANN index
+    stages and the reference's COPY round-trip of a serialized sketch
+    (output/copy.source:9-17). Returns the loaded stage."""
+    feats = minhash_doc_features(df, id_col, text_col)
+    feats.write.mode("overwrite").parquet(f"{index_dir}/features.parquet")
+    return minhash_index_load(df.sparkSession, index_dir)
+
+
+def minhash_index_load(spark, index_dir: str) -> DataFrame:
+    """Load a persisted MinHash feature index: (doc_id, keys, grams)."""
+    return spark.read.parquet(f"{index_dir}/features.parquet")
+
+
+def incremental_near_dup(
+    batch: DataFrame,
+    index_feats: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = True,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup of a new crawl batch against a prior
+    corpus index (round-7 verdict #4) — the growing-corpus companion to the
+    exact-digest ``incremental_dedup`` (Bloom anti-join).
+
+    Emits every pair (a_id, b_id), a < b, with gram-Jaccard ≥ ``threshold``
+    where AT LEAST ONE side is in the batch: batch-vs-prior pairs come from
+    joining the batch's band keys against the persisted index
+    (:func:`minhash_index_build`); batch-vs-batch pairs come from the same
+    join because the batch's features union into the probe side. Equals the
+    batch-touching subset of the full-corpus exact operator at the
+    threshold (the 32×4 banding's miss probability < 1e-7 at s = 0.8, as
+    :func:`minhash_lsh_pairs`).
+
+    Scale shape — the reason this operator exists: per batch, the kernel
+    pass runs over the BATCH ONLY; the prior corpus contributes its
+    (already tokenized, already banded) index rows through uniform-key
+    equi-joins (band-key candidates, then doc_id gram-set fetches for the
+    exact verify). The old corpus TEXT is never re-scanned and never
+    re-hashed — cost per batch is O(batch tokens + candidates), not
+    O(corpus), which at a 10¹²-doc corpus taking daily 10⁹-doc batches is
+    the difference between a nightly job and re-running the whole dedup.
+    Ids must be unique across prior∪batch (the usual crawl invariant)."""
+    bf = minhash_doc_features(batch, id_col, text_col).persist()
+    all_feats = index_feats.unionByName(bf)
+    b_bands = bf.select("doc_id", F.posexplode("keys").alias("band", "key"))
+    a_bands = all_feats.select("doc_id", F.posexplode("keys").alias("band", "key"))
+    cand = (
+        b_bands.alias("b")
+        .join(
+            a_bands.alias("a"),
+            (F.col("b.band") == F.col("a.band"))
+            & (F.col("b.key") == F.col("a.key"))
+            & (F.col("b.doc_id") != F.col("a.doc_id")),
+        )
+        .select(
+            F.least("b.doc_id", "a.doc_id").alias("a_id"),
+            F.greatest("b.doc_id", "a.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    fa = all_feats.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("gs_a"))
+    fb = all_feats.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gs_b"))
+    verified = (
+        cand.join(fa, "a_id")
+        .join(fb, "b_id")
+        .withColumn("i", F.size(F.array_intersect("gs_a", "gs_b")))
+        .withColumn("u", F.size("gs_a") + F.size("gs_b") - F.col("i"))
+        .where(F.col("i") / F.col("u") >= threshold)
+        .select("a_id", "b_id")
+    )
+    if not materialize:
+        # lazy path: the caller owns recomputation; nothing may stay
+        # persisted past return (no handle to unpersist)
+        bf.unpersist()
+        return verified
+    out = verified.localCheckpoint(eager=True)
+    bf.unpersist()
+    return out
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
