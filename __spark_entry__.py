@@ -1706,87 +1706,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness harness records the first ~50 entries
-    # per round, so entries without a prior-round record go FIRST (round 6:
-    # the four r5 tail queries, the new planted-LSH / pushdown gates, the
-    # bucketed-join gate and the keyed streaming-quantiles gate), and the
-    # slots they displace rotate to the tail — every tail entry was
-    # recorded in r5, has a recorded near-twin THIS round
-    # (jaccard_pairs→jaccard_pairs_pruned, lang_id→lang_id_ngram,
-    # ann_lsh_topk/ann_ivf_topk/ann_brute_topk→the planted ANN gates,
-    # simhash_docs→simhash_near_pairs, corpus_profile→corpus_profile_direct
-    # which shares the identical oracle SQL,
-    # grouped_kll_quantiles_direct→grouped_kll_quantiles_filtered,
-    # grouped_kll_quantiles→grouped_kll_quantiles_filtered,
-    # grouped_user_freq→grouped_topn + cms_topn_frequency_probe,
-    # incremental_dedup→exact_dedup + bloom_customer_semijoin which cover
-    # its two mechanisms, quality_score→curate_corpus which composes the
-    # same lang+quality+repetition gates,
-    # cms_topn_union_partials→cms_topn_event_types (same oracle; the union
-    # path stays pinned by TestUnion/TestUnionAgg goldens),
-    # doc_fingerprints→winnow_fingerprints (the winnowed subset of the same
-    # rolling-hash scheme), doc_chunks→token_stats (the same tokenizer whose
-    # windows doc_chunks slices), repetition_stats→curate_corpus (which
-    # composes the same repetition gate),
-    # contamination_report→fingerprint_decontamination (the corpus-level
-    # variant of the same decontamination check)), and
-    # MUST rotate back in r7 (no query misses two rounds running).
+    # per round. Round-7 rotation: the 3 new lifecycle gates (no record
+    # ever) lead, then the 17 entries the r6 driver window missed (recorded
+    # in r5; none may miss two rounds running), then 30 r6-recorded
+    # stalwarts. The 20-entry tail is all r6-RECORDED queries, each with a
+    # mechanism twin still in-window this round:
+    # jaccard_pairs_pruned→jaccard_pairs (same _jaccard_from_shingles),
+    # lang_id_ngram→lang_id, ann_lsh_planted_topk→ann_lsh_topk+built,
+    # ann_ivf_planted_topk→ann_ivf_topk+built (planted recall stays
+    # pytest-pinned), simhash_near_pairs→simhash_docs (scheme bit-exact in
+    # pytest), corpus_profile_direct→corpus_profile (identical oracle SQL),
+    # grouped_kll_quantiles_filtered→grouped_kll_quantiles+_direct,
+    # grouped_topn→grouped_user_freq+cms_topn_frequency_probe,
+    # bloom_customer_semijoin→incremental_dedup (same Bloom mechanism),
+    # winnow_fingerprints→doc_fingerprints, token_stats→doc_chunks (same
+    # tokenizer), curate_corpus→quality_score+repetition_stats+lang_id
+    # (its components), fingerprint_decontamination→contamination_report,
+    # cms_topn_event_types→cms_topn_union_partials (same oracle; goldens),
+    # exact_dedup→incremental_dedup (digest mechanism),
+    # hll_users_by_type→hll_distinct_parts, kll_length_gate→
+    # kll_price_quantiles, events_pivot→events_unpivot (inverse pair),
+    # user_sessions→session_window_counts (same boundary rule),
+    # stream_windowed_topn→stream_keyed_topn. ALL 20 MUST rotate back in
+    # r8. tests/test_rotation.py enforces the no-two-misses invariant.
     return {
-        # round-7 additions (no prior record) lead
         "ann_ivf_built_topk": q_ann_ivf_built_topk,
         "ann_lsh_built_topk": q_ann_lsh_built_topk,
         "incremental_near_dup": q_incremental_near_dup,
-        "asof_join_events": q_asof_join_events,
-        "range_join_attribution": q_range_join_attribution,
-        "stream_interval_join": q_stream_interval_join,
-        "partition_pruned_scan": q_partition_pruned_scan,
-        "events_rollup": q_events_rollup,
-        "events_pivot": q_events_pivot,
-        "events_unpivot": q_events_unpivot,
-        "session_window_counts": q_session_window_counts,
-        "seq_packing": q_seq_packing,
-        "bucketed_orders_join": q_bucketed_orders_join,
-        "stream_keyed_quantiles": q_stream_keyed_quantiles,
-        "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
-        "cosine_lsh_planted_pairs": q_cosine_lsh_planted_pairs,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "curate_corpus": q_curate_corpus,
-        "stratified_sample": q_stratified_sample,
-        "cms_topn_event_types": q_cms_topn_event_types,
-        "cms_topn_doc_tokens": q_cms_topn_doc_tokens,
-        "cms_topn_frequency_probe": q_cms_topn_frequency_probe,
-        "hll_distinct_parts": q_hll_distinct_parts,
-        "hll_users_by_type": q_hll_users_by_type,
-        "kll_price_quantiles": q_kll_price_quantiles,
-        "kll_length_gate": q_kll_length_gate,
-        "tdigest_median_by_type": q_tdigest_median_by_type,
-        "bloom_customer_semijoin": q_bloom_customer_semijoin,
-        "mms_user_masks": q_mms_user_masks,
-        "stream_event_type_counts": q_stream_event_type_counts,
-        "stream_keyed_topn": q_stream_keyed_topn,
-        "stream_windowed_topn": q_stream_windowed_topn,
-        "stream_dedup": q_stream_dedup,
-        "grouped_topn": q_grouped_topn,
-        "grouped_kll_quantiles_filtered": q_grouped_kll_quantiles_filtered,
-        "grouped_user_days": q_grouped_user_days,
-        "ann_lsh_planted_topk": q_ann_lsh_planted_topk,
-        "ann_ivf_planted_topk": q_ann_ivf_planted_topk,
-        "cms_vocab_gate": q_cms_vocab_gate,
-        "media_pixel_stats": q_media_pixel_stats,
-        "user_sessions": q_user_sessions,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "top_nations_revenue": q_top_nations_revenue,
-        "token_stats": q_token_stats,
-        "lang_id_ngram": q_lang_id_ngram,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "exact_dedup": q_exact_dedup,
-        "fingerprint_decontamination": q_fingerprint_decontamination,
-        "corpus_profile_direct": q_corpus_profile_direct,
-        "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dup_clusters": q_dup_clusters,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        # ---- rotation tail (see the ordering comment above; simhash_docs'
-        # recorded twin is simhash_near_pairs, which consumes its output) ----
         "ann_brute_topk": q_ann_brute_topk,
         "grouped_kll_quantiles_direct": q_grouped_kll_quantiles_direct,
         "grouped_kll_quantiles": q_grouped_kll_quantiles,
@@ -1804,6 +1750,56 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "corpus_profile": q_corpus_profile,
+        "asof_join_events": q_asof_join_events,
+        "range_join_attribution": q_range_join_attribution,
+        "stream_interval_join": q_stream_interval_join,
+        "partition_pruned_scan": q_partition_pruned_scan,
+        "events_rollup": q_events_rollup,
+        "events_unpivot": q_events_unpivot,
+        "session_window_counts": q_session_window_counts,
+        "seq_packing": q_seq_packing,
+        "bucketed_orders_join": q_bucketed_orders_join,
+        "stream_keyed_quantiles": q_stream_keyed_quantiles,
+        "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
+        "cosine_lsh_planted_pairs": q_cosine_lsh_planted_pairs,
+        "stratified_sample": q_stratified_sample,
+        "cms_topn_doc_tokens": q_cms_topn_doc_tokens,
+        "cms_topn_frequency_probe": q_cms_topn_frequency_probe,
+        "hll_distinct_parts": q_hll_distinct_parts,
+        "kll_price_quantiles": q_kll_price_quantiles,
+        "tdigest_median_by_type": q_tdigest_median_by_type,
+        "mms_user_masks": q_mms_user_masks,
+        "stream_event_type_counts": q_stream_event_type_counts,
+        "stream_keyed_topn": q_stream_keyed_topn,
+        "stream_dedup": q_stream_dedup,
+        "grouped_user_days": q_grouped_user_days,
+        "cms_vocab_gate": q_cms_vocab_gate,
+        "media_pixel_stats": q_media_pixel_stats,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "top_nations_revenue": q_top_nations_revenue,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dup_clusters": q_dup_clusters,
+        "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
+        "lang_id_ngram": q_lang_id_ngram,
+        "ann_lsh_planted_topk": q_ann_lsh_planted_topk,
+        "ann_ivf_planted_topk": q_ann_ivf_planted_topk,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "corpus_profile_direct": q_corpus_profile_direct,
+        "grouped_kll_quantiles_filtered": q_grouped_kll_quantiles_filtered,
+        "grouped_topn": q_grouped_topn,
+        "bloom_customer_semijoin": q_bloom_customer_semijoin,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "token_stats": q_token_stats,
+        "curate_corpus": q_curate_corpus,
+        "fingerprint_decontamination": q_fingerprint_decontamination,
+        "cms_topn_event_types": q_cms_topn_event_types,
+        "exact_dedup": q_exact_dedup,
+        "hll_users_by_type": q_hll_users_by_type,
+        "kll_length_gate": q_kll_length_gate,
+        "events_pivot": q_events_pivot,
+        "user_sessions": q_user_sessions,
+        "stream_windowed_topn": q_stream_windowed_topn,
     }
 
 
