@@ -74,6 +74,7 @@ SCALING_WALL_BUDGET = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "420"))
 AMBIENT_GATE = 3.5  # external load above this at start → wait (bounded) for quiet
 AMBIENT_WAIT_MAX = float(os.environ.get("SPARK_GRAFT_AMBIENT_WAIT", "420"))
 HEADLINE_PASSES = 2  # fixed timed passes, per-query min — storm insurance
+MAX_EXTRA_HEADLINE_PASSES = 2  # bounded probe-gated extras (round-7 verdict #6)
 
 # ---- storm handling (ALL rules outcome-independent: they look at ambient
 # load and CPU-seconds-for-identical-work, never at the efficiency value) ----
@@ -235,7 +236,7 @@ def wait_for_ambient_quiet(threshold: float = AMBIENT_GATE, timeout: float = AMB
     return round(load, 2)
 
 
-def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
+def run_headline(sf_dir: str, cpus: int) -> tuple[dict[str, float], dict]:
     import __spark_entry__ as entrymod
     from cms_topn_spark.spark_session import get_spark
 
@@ -258,11 +259,30 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     # FIXED pass count with per-query min: a co-tenant storm that lands on
     # one pass cannot contaminate the recorded wall for every query, and the
     # rule (always run HEADLINE_PASSES passes, take the min) never looks at
-    # the values, so it introduces no optional-stopping bias
+    # the values, so it introduces no optional-stopping bias.
+    #
+    # Round-7 (verdict #6): the headline section is probe-gated the way
+    # scaling reps are — each pass waits (adaptively, severity-scaled) for a
+    # quiet probe window, and a pass that STILL starts stormy grants one
+    # bounded extra pass (up to MAX_EXTRA_HEADLINE_PASSES). The rule looks
+    # only at the probe sensor, never at the measured walls, so it stays
+    # outcome-independent; per-pass probes are recorded so a contaminated
+    # official record is at least self-describing.
     out: dict[str, float] = {}
-    for p in range(HEADLINE_PASSES):
-        probe = wait_for_probe_quiet(timeout=30)
-        log(f"  pass{p} start probe {probe}s (quiet ref {PROBE_QUIET_REF})")
+    probes: list[float] = []
+    extra_granted = 0
+    total_passes = HEADLINE_PASSES
+    p = 0
+    while p < total_passes:
+        probe = wait_for_probe_quiet(
+            timeout=PROBE_WAIT_BASE, adaptive_max=PROBE_WAIT_ADAPTIVE_MAX
+        )
+        stormy = probe > PROBE_STORM_RATIO * PROBE_QUIET_REF
+        probes.append(round(probe, 3))
+        log(
+            f"  pass{p} start probe {probe}s (quiet ref {PROBE_QUIET_REF}"
+            f"{', STORMY' if stormy else ''})"
+        )
         for name in HEADLINE:
             t0 = time.monotonic()
             df = qs[name](spark, sf_dir)
@@ -270,8 +290,20 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
             wall = round(time.monotonic() - t0, 3)
             out[name] = min(out.get(name, wall), wall)
             log(f"  pass{p} {name}: {wall}s ({n} rows)")
+        if stormy and extra_granted < MAX_EXTRA_HEADLINE_PASSES:
+            extra_granted += 1
+            total_passes += 1
+            log("  stormy pass — granting one bounded extra headline pass")
+        p += 1
     spark.stop()
-    return out
+    meta = {
+        "probe_per_pass": probes,
+        "stormy_passes": sum(
+            1 for pr in probes if pr > PROBE_STORM_RATIO * PROBE_QUIET_REF
+        ),
+        "extra_passes": extra_granted,
+    }
+    return out, meta
 
 
 def warmup(spark, cpus: int) -> None:
@@ -696,6 +728,13 @@ def compact_summary(full: dict) -> dict:
         "queries": {k: round(v, 2) for k, v in (full.get("queries") or {}).items()},
         "sf": full["sf"],
     }
+    hp = full.get("headline_probes")
+    if hp:
+        # compact: the probe list is ≤ HEADLINE_PASSES+MAX_EXTRA floats
+        out["headline_probes"] = {
+            "probe_per_pass": hp["probe_per_pass"],
+            "stormy_passes": hp["stormy_passes"],
+        }
     sc = full.get("scaling")
     if sc:
         # derive the level keys from the record (localN), not a hardcoded
@@ -817,9 +856,10 @@ def main() -> None:
         query_scaling = run_query_scaling()
 
     queries = {}
+    headline_meta = None
     if not skip_headline:
         log(f"headline queries at {sf_dir}, local[{cpus}]")
-        queries = run_headline(sf_dir, cpus)
+        queries, headline_meta = run_headline(sf_dir, cpus)
 
     total = round(sum(queries.values()), 3)
     scaling_json = (
@@ -872,6 +912,9 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # probe-gate telemetry for the headline section (verdict #6): the
+        # record discloses whether its walls were measured quiet
+        "headline_probes": headline_meta,
         "scaling": scaling_json,
         "query_scaling": query_scaling,
     }

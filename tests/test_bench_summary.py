@@ -59,12 +59,18 @@ def _worst_case_full() -> dict:
         "minhash_lsh_pairs": dict(qentry),
         "grouped_kll_quantiles_direct": dict(qentry),
     }
+    n_hl = bench.HEADLINE_PASSES + bench.MAX_EXTRA_HEADLINE_PASSES
     return {
         "metric": "headline query wall time + flagship CMS build docs/sec scaling",
         "value": 123.456,
         "unit": "sec",
         "queries": queries,
         "sf": 0.1,
+        "headline_probes": {
+            "probe_per_pass": [1.234567] * n_hl,
+            "stormy_passes": n_hl,
+            "extra_passes": bench.MAX_EXTRA_HEADLINE_PASSES,
+        },
         "scaling": scaling,
         "query_scaling": query_scaling,
     }
@@ -82,6 +88,10 @@ def test_final_line_fits_tail_window():
     assert parsed["scaling"]["efficiency_raw"] == 0.723
     assert parsed["scaling"]["clean_reps"] == {"2": 2, "8": 0}
     assert parsed["query_scaling"]["minhash_lsh_pairs"]["efficiency_raw"] == 0.824
+    # headline probe-gate telemetry survives into the compact line
+    assert parsed["headline_probes"]["stormy_passes"] == (
+        bench.HEADLINE_PASSES + bench.MAX_EXTRA_HEADLINE_PASSES
+    )
 
 
 def test_tail_capture_simulation():
