@@ -1055,17 +1055,27 @@ def q_stream_windowed_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_grouped_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group KLL quantiles in the map-side-combine scale form
-    (operators/grouped.py grouped_quantiles): per-user event-value quartiles
-    over every user (150 groups at sf0.01, 1500 at sf0.1). The exchange moves
-    one KLL state per (task, group) — never the group's rows — and quantiles
-    are read out distributed. Per-group n (~67 rows) is far below the k=4096
-    compaction threshold, so each quantile equals DuckDB quantile_cont
-    bitwise (the exact regime; the compacting path is pytest-covered)."""
-    from cms_topn_spark.operators.grouped import grouped_quantiles
+    """Per-group KLL quantiles in the map-side-combine scale form: per-user
+    event-value quartiles over every user (150 groups at sf0.01, 1500 at
+    sf0.1). The exchange moves one KLL state per (task, group) — never the
+    group's rows — and quantiles are read out distributed. Per-group n
+    (~67 rows) is far below the k=4096 compaction threshold, so each
+    quantile equals DuckDB quantile_cont bitwise (the exact regime; the
+    compacting path is pytest-covered).
 
-    return grouped_quantiles(
-        _t(spark, sf_dir, "events"), "user_id", "value", k=4096
+    Physical ingest (round-7 verdict #5): this entry runs the COLUMNAR-
+    DIRECT source (grouped_quantiles_parquet) — the library's best physical
+    plan for a parquet-backed fold, skipping Spark's columnar→row→Arrow
+    double pivot that measured ~8× the scan's own CPU and anti-scales with
+    task threads. Same fold, same states-only exchange, same bitwise
+    oracle; the generic DataFrame-ingest form (grouped.grouped_quantiles)
+    stays first-class — pytest-oracled in tests/test_grouped.py and gated
+    through the grouped_estimate entries (tdigest_median_by_type,
+    hll_users_by_type) and grouped_kll_quantiles_filtered."""
+    from cms_topn_spark.operators.grouped import grouped_quantiles_parquet
+
+    return grouped_quantiles_parquet(
+        spark, os.path.join(sf_dir, "events.parquet"), "user_id", "value", k=4096
     )
 
 

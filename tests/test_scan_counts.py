@@ -57,7 +57,9 @@ EXPECTED_SCANS = {
     "curate_corpus": 1,
     "tfidf_top_terms": 0,  # tf staged (round-6 defect: was 2)
     "kll_length_gate": 1,
-    "grouped_kll_quantiles": 1,
+    # columnar-direct ingest: tasks read their parquet splits via pyarrow
+    # inside the kernel; Spark's plan has no FileScan node (round-7 #5)
+    "grouped_kll_quantiles": 0,
     "asof_join_events": 2,  # two inputs, one keyed exchange
     "range_join_attribution": 3,  # three filter/column slices of events
     "jaccard_pairs": 0,  # shingles staged (shares _jaccard_from_shingles)
