@@ -663,6 +663,23 @@ def minhash_index_load(spark, index_dir: str) -> DataFrame:
     return spark.read.parquet(f"{index_dir}/features.parquet")
 
 
+def minhash_index_append(batch: DataFrame, index_dir: str, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Fold a new batch INTO the index after it has been deduped — the
+    closing step of the incremental lifecycle: dedup the batch against the
+    index (:func:`incremental_near_dup`), drop/keep, then append the
+    survivors' features so the NEXT batch dedups against prior∪batch.
+
+    Append-mode parquet write of the batch's kernel output — O(batch), no
+    read-modify-write of the existing stage, no touch of prior files (the
+    growing-corpus invariant shared with the Bloom path: old snapshots are
+    immutable). Returns the reloaded (now larger) index. Caller guarantees
+    ids unique across appends, as everywhere in the lifecycle."""
+    feats = minhash_doc_features(batch, id_col, text_col)
+    feats.write.mode("append").parquet(f"{index_dir}/features.parquet")
+    return minhash_index_load(batch.sparkSession, index_dir)
+
+
 def incremental_near_dup(
     batch: DataFrame,
     index_feats: DataFrame,

@@ -188,6 +188,29 @@ class TestDedup:
                       and (a in bids or a % 3 != 0) and (b in bids or b % 3 != 0)}
             assert got == expect
 
+    def test_incremental_near_dup_append_grows_index(self, docs, spark, tmp_path):
+        """dedup batch1 → append it → batch2 must see batch1 as prior
+        corpus: the closing step of the incremental lifecycle."""
+        from cms_topn_spark.operators import dedup
+
+        old = docs.where("doc_id % 3 = 1")
+        b1 = docs.where("doc_id % 3 = 2")
+        b2 = docs.where("doc_id % 3 = 0")
+        d = str(tmp_path / "mh_grow")
+        idx = dedup.minhash_index_build(old, d)
+        dedup.incremental_near_dup(b1, idx, 0.8).collect()  # dedup step
+        idx2 = dedup.minhash_index_append(b1, d)
+        assert idx2.count() == docs.where("doc_id % 3 != 0").count()
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in dedup.incremental_near_dup(b2, idx2, 0.8).collect()
+        }
+        full = {
+            (r["a_id"], r["b_id"]) for r in dedup.minhash_lsh_pairs(docs, 0.8).collect()
+        }
+        expect = {(a, b) for a, b in full if a % 3 == 0 or b % 3 == 0}
+        assert got == expect
+
     def test_jaccard_pruning_changes_semantics_deterministically(self, spark, con):
         """Planted corpus where a ubiquitous shingle flips pairs across the
         threshold: pruned != exact, and pruned == its own SQL oracle."""
