@@ -114,4 +114,29 @@ if __name__ == "__main__":
         grep=("Join", "Exchange"),
         fmt="simple",
     )
+
+    # round-7 staging audit: executed FINAL-plan FileScan counts for the two
+    # operators round 6 caught re-scanning the corpus, plus an unstaged
+    # control. Staged operators pay their one corpus scan inside the
+    # eager-checkpoint staging job, so the FINAL plan carries 0 FileScans;
+    # tests/test_scan_counts.py pins the whole headline table.
+    from cms_topn_spark.operators import textops
+    from cms_topn_spark.plans.bucketing import scan_count
+
+    print("## Executed-plan FileScan counts (round-7 staging audit)\n")
+    print("| query | FileScans in executed final plan | round-6 defect |")
+    print("|---|---|---|")
+    audit = [
+        ("tfidf_top_terms (tf staged)", textops.tfidf_top_terms(docs, k=3), "2 scans"),
+        (
+            "jaccard_pairs_pruned (sh + kept staged)",
+            dedup.jaccard_pairs_pruned(docs, 0.8, max_df=20),
+            "8 scans",
+        ),
+        ("tpch_q1_pricing (unstaged single-scan control)",
+         e.q_tpch_q1_pricing(spark, sf), "—"),
+    ]
+    for name, df, was in audit:
+        print(f"| {name} | {scan_count(df)} | {was} |")
+    print()
     spark.stop()
