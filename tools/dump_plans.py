@@ -1,8 +1,10 @@
 """Regenerate BENCH/PLANS.md — physical-plan snapshots of the key queries.
 
-Usage: python tools/dump_plans.py > BENCH/PLANS.md
-(The snapshot asserts the scale-critical plan properties: pruned scans,
-pushed filters, broadcast joins, shuffle-free partial builds.)
+Usage: python tools/dump_plans.py > /tmp/plans.md, then MERGE into
+BENCH/PLANS.md: the committed file also carries per-round manually-added
+sections (grouped KLL, bucketed/as-of/range joins, partition pruning —
+everything after the IVF section) that this script does NOT regenerate.
+A blind redirect erases that history (it happened in round 7; restored).
 """
 # The generation logic lives inline in the committed BENCH/PLANS.md header;
 # regenerate by running the script body from the repo root:
