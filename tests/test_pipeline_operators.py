@@ -188,6 +188,27 @@ class TestDedup:
                       and (a in bids or a % 3 != 0) and (b in bids or b % 3 != 0)}
             assert got == expect
 
+    def test_incremental_near_dup_planted_edges(self, spark, tmp_path):
+        """Deterministic micro-corpus pinning the three pair classes:
+        batch-vs-prior found, batch-vs-batch found, prior-vs-prior excluded."""
+        from cms_topn_spark.operators import dedup
+
+        text_a = "the quick brown fox jumps over the lazy dog again and again"
+        text_b = "completely unrelated content about distributed sketches ok"
+        old = spark.createDataFrame(
+            [(10, text_a), (11, text_a), (12, text_b)], "doc_id long, text string"
+        )  # 10-11: a prior-vs-prior dup that must NOT re-emit
+        batch = spark.createDataFrame(
+            [(20, text_a), (21, text_a), (22, "nothing like the others here")],
+            "doc_id long, text string",
+        )
+        idx = dedup.minhash_index_build(old, str(tmp_path / "mh_edge"))
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in dedup.incremental_near_dup(batch, idx, 0.9).collect()
+        }
+        assert got == {(10, 20), (10, 21), (11, 20), (11, 21), (20, 21)}
+
     def test_incremental_near_dup_append_grows_index(self, docs, spark, tmp_path):
         """dedup batch1 → append it → batch2 must see batch1 as prior
         corpus: the closing step of the incremental lifecycle."""
