@@ -64,6 +64,12 @@ HEADLINE = [
     "grouped_kll_quantiles",  # round 4: per-group quantiles, states-only shuffle
     "asof_join_events",  # round 6: one-exchange union+window as-of join
     "range_join_attribution",  # round 6: binned no-equi-key interval join
+    # round 7 — index lifecycles: the process-scoped index builds on the
+    # FIRST pass and later passes serve through the loaded parquet stage,
+    # so the per-query min records the serve path (the lifecycle's point)
+    "ann_ivf_built_topk",
+    "ann_lsh_built_topk",
+    "incremental_near_dup",
 ]
 
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "9000000"))

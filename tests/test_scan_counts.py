@@ -65,6 +65,15 @@ EXPECTED_SCANS = {
     "jaccard_pairs": 0,  # shingles staged (shares _jaccard_from_shingles)
     "jaccard_pairs_pruned": 0,  # sh + kept staged (round-6 defect: was 8)
     "contamination_report": 1,  # train/eval gram frames staged; eval-id re-join scans once
+    # round-7 lifecycle gates. The counts include INDEX-STAGE parquet reads,
+    # not just corpus reads: ivf = assignments stage + 2 pruned embedding
+    # fetches (query vectors collect in their own job); lsh = signature
+    # stage ×2 (query filter is a pushed vec_id∈ids read — tiny — plus the
+    # probe join side) + 2 pruned embedding fetches. incremental_near_dup's
+    # output is eagerly materialized (0 scans in its final plan).
+    "ann_ivf_built_topk": 3,
+    "ann_lsh_built_topk": 4,
+    "incremental_near_dup": 0,
 }
 
 
