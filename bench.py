@@ -35,7 +35,6 @@ import json
 import os
 import shutil
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -822,28 +821,49 @@ def main() -> None:
     if not skip_scaling:
         loadavg_pre = wait_for_ambient_quiet()
         log(f"scaling protocol: {SCALING_DOCS} webpages at local[2] vs local[8] (ambient {loadavg_pre})")
-        tmp = tempfile.mkdtemp(prefix="bench_webpages_")
-        input_path = os.path.join(tmp, "webpages.parquet")
-        try:
-            from cms_topn_spark.sources.webpages import generate_webpages
-            from cms_topn_spark.spark_session import get_spark
+        from cms_topn_spark.sources.webpages import generate_webpages
+        from cms_topn_spark.spark_session import get_spark
 
-            n_files = max(64, SCALING_DOCS // DOCS_PER_FILE)  # ≈12 MB/file, uniform
-            spark = get_spark("bench-gen", cpus=cpus)
-            generate_webpages(spark, SCALING_DOCS, partitions=n_files).write.mode(
-                "overwrite"
-            ).parquet(input_path)
-            spark.stop()
-            # flush generation writeback, then warm the page cache — otherwise the
-            # first timed run competes with the kernel flushing ~GBs of fresh
-            # parquet to disk (measured: +60% CPU on the first local[2] rep)
-            os.sync()
+        n_files = max(64, SCALING_DOCS // DOCS_PER_FILE)  # ≈12 MB/file, uniform
+        # the generator is deterministic (splitmix streams keyed by doc id),
+        # so the dataset is CACHEABLE across sessions: regeneration is
+        # minutes of local[32] work whose 1-minute loadavg shadow the
+        # scaling section then has to wait out. Cache key = (docs, files);
+        # a _SUCCESS marker plus the expected part-file count validates a
+        # prior session's write. SPARK_GRAFT_SCALING_FRESH=1 forces regen.
+        cache_root = f"/tmp/spark_graft_scaling_cache_{SCALING_DOCS}_{n_files}"
+        input_path = os.path.join(cache_root, "webpages.parquet")
+
+        def _cache_valid() -> bool:
+            if os.environ.get("SPARK_GRAFT_SCALING_FRESH") == "1":
+                return False
+            try:
+                names = os.listdir(input_path)
+            except OSError:
+                return False
+            parts = [f for f in names if f.endswith(".parquet")]
+            return "_SUCCESS" in names and len(parts) == n_files
+
+        try:
+            if not _cache_valid():
+                spark = get_spark("bench-gen", cpus=cpus)
+                generate_webpages(spark, SCALING_DOCS, partitions=n_files).write.mode(
+                    "overwrite"
+                ).parquet(input_path)
+                spark.stop()
+                # flush generation writeback — otherwise the first timed run
+                # competes with the kernel flushing ~GBs of fresh parquet to
+                # disk (measured: +60% CPU on the first local[2] rep)
+                os.sync()
+            else:
+                log(f"  reusing cached scaling dataset at {input_path}")
+            # warm the page cache either way (a cached dataset may be cold)
             for f in os.listdir(input_path):
                 if f.endswith(".parquet"):
                     with open(os.path.join(input_path, f), "rb") as fh:
                         while fh.read(1 << 22):
                             pass
-            # settle: the generation just ran at local[32], and its 1-minute
+            # settle: if generation just ran at local[32], its 1-minute
             # loadavg shadow decays over ~60-90 s — without this, rep 1
             # starts into OUR OWN ghost load (r4 recorded loadavg 10.4 at
             # rep 1) and the storm machinery burns recovery pairs on it
@@ -853,8 +873,14 @@ def main() -> None:
             # a Python worker over ~1.7 cores, so (1,4) deflates the ratio);
             # fixed interleaved reps, best + median — see BENCH/BASELINE.md
             scaling_28 = run_scaling(input_path, SCALING_DOCS, levels=(2, 8))
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        except BaseException:
+            # a partial/failed write must not be mistaken for a valid cache
+            # next session (the _SUCCESS check guards, but be explicit)
+            if not _cache_valid():
+                shutil.rmtree(cache_root, ignore_errors=True)
+            raise
+        # the dataset stays on disk for the next session (deterministic
+        # content, validated by _SUCCESS + part count at reuse time)
 
     query_scaling = None
     if not skip_qscaling:
