@@ -232,6 +232,56 @@ class TestDedup:
         expect = {(a, b) for a, b in full if a % 3 == 0 or b % 3 == 0}
         assert got == expect
 
+    def test_incremental_near_dup_fuzz_equals_full_subset(self, spark):
+        """Hypothesis fuzz of the incremental invariant: for ANY corpus and
+        ANY old/batch split, incremental_near_dup == the batch-touching
+        subset of the full-corpus operator. Engine-vs-engine with the SAME
+        band scheme and the same exact verify, so equality is exact — no
+        banding-miss probability can separate the two sides."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from cms_topn_spark.operators import dedup
+
+        base = [
+            "the quick brown fox jumps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "abc",  # shorter than the gram width: one zero-padded gram
+        ]
+        text = st.builds(
+            lambda b, s: b + s,
+            st.sampled_from(base),
+            st.sampled_from(["", " x", " extra tail words", "!"]),
+        )
+
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.too_slow,
+                HealthCheck.function_scoped_fixture,
+            ],
+        )
+        @given(texts=st.lists(text, min_size=2, max_size=10))
+        def run(texts):
+            rows = [(i, t) for i, t in enumerate(texts)]
+            docs = spark.createDataFrame(rows, "doc_id long, text string")
+            old = docs.where("doc_id % 3 != 0")
+            batch = docs.where("doc_id % 3 = 0")
+            feats = dedup.minhash_doc_features(old)
+            got = {
+                (r["a_id"], r["b_id"])
+                for r in dedup.incremental_near_dup(batch, feats, 0.8).collect()
+            }
+            full = {
+                (r["a_id"], r["b_id"])
+                for r in dedup.minhash_lsh_pairs(docs, 0.8).collect()
+            }
+            expect = {(a, b) for a, b in full if a % 3 == 0 or b % 3 == 0}
+            assert got == expect
+
+        run()
+
     def test_jaccard_pruning_changes_semantics_deterministically(self, spark, con):
         """Planted corpus where a ubiquitous shingle flips pairs across the
         threshold: pruned != exact, and pruned == its own SQL oracle."""
