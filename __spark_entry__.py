@@ -1263,6 +1263,51 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "digest string")
 
 
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup dedup against a growing MinHash index (streaming/
+    stream_agg.py near_dup_stream — the 8th streaming shape, round 7): the
+    documents table streams in as 4 files (availableNow, maxFilesPerTrigger
+    =1, so pairs MUST be found across micro-batch boundaries out of the
+    persisted index, not within one batch), each micro-batch emits pairs
+    vs the committed prior batches and appends its own features. The
+    accumulated pair set is BATCHING-INVARIANT — it equals all near-dup
+    pairs of the whole corpus, so the oracle is the same exact all-pairs
+    Jaccard SQL that gates minhash_lsh_pairs, regardless of which file
+    each document landed in."""
+    import shutil
+    import tempfile
+
+    from cms_topn_spark.streaming.stream_agg import (
+        near_dup_stream,
+        read_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="stream_neardup_")
+    try:
+        src = os.path.join(tmp, "in")
+        docs.select("doc_id", "text").repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = near_dup_stream(
+            stream,
+            index_root=os.path.join(tmp, "index"),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            threshold=0.8,
+        )
+        q.awaitTermination()
+        rows = [
+            (r["a_id"], r["b_id"])
+            for r in read_near_dup_pairs(spark, os.path.join(tmp, "index")).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "a_id long, b_id long")
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM interval join via Spark's built-in watermarked join —
     the last classic streaming shape (complements the foreachBatch fold,
@@ -1643,6 +1688,7 @@ _ORDER: dict[str, str] = {
     "exact_dedup": "doc_id",
     "incremental_dedup": "doc_id",
     "incremental_near_dup": "a_id, b_id",
+    "stream_near_dup": "a_id, b_id",
     "contamination_report": "eval_id",
     "fingerprint_decontamination": "eval_id",
     "doc_chunks": "doc_id, chunk_id",
@@ -1743,6 +1789,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_built_topk": q_ann_ivf_built_topk,
         "ann_lsh_built_topk": q_ann_lsh_built_topk,
         "incremental_near_dup": q_incremental_near_dup,
+        "stream_near_dup": q_stream_near_dup,
         "ann_brute_topk": q_ann_brute_topk,
         "grouped_kll_quantiles_direct": q_grouped_kll_quantiles_direct,
         "grouped_kll_quantiles": q_grouped_kll_quantiles,
@@ -2122,6 +2169,9 @@ def _raw_oracle_sql() -> dict[str, str]:
             f"SELECT * FROM ({dedup.jaccard_pairs_sql('documents', 0.8)})"
             " WHERE a_id % 3 = 0 OR b_id % 3 = 0"
         ),
+        # batching-invariant: the stream's accumulated pairs == ALL corpus
+        # near-dup pairs (see q_stream_near_dup) — the full jaccard oracle
+        "stream_near_dup": jaccard,
         "doc_chunks": textops.chunk_documents_sql(
             "documents", chunk_tokens=32, stride=16
         ),

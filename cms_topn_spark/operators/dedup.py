@@ -687,6 +687,7 @@ def incremental_near_dup(
     id_col: str = "doc_id",
     text_col: str = "text",
     materialize: bool = True,
+    batch_feats: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup of a new crawl batch against a prior
     corpus index (round-7 verdict #4) — the growing-corpus companion to the
@@ -709,8 +710,16 @@ def incremental_near_dup(
     re-hashed — cost per batch is O(batch tokens + candidates), not
     O(corpus), which at a 10¹²-doc corpus taking daily 10⁹-doc batches is
     the difference between a nightly job and re-running the whole dedup.
-    Ids must be unique across prior∪batch (the usual crawl invariant)."""
-    bf = minhash_doc_features(batch, id_col, text_col).persist()
+    Ids must be unique across prior∪batch (the usual crawl invariant).
+
+    ``batch_feats`` lets a caller that already computed the batch's
+    features (e.g. the streaming shape, which also appends them to the
+    index) pass them in instead of paying the kernel pass twice; pass an
+    unpersisted/checkpointed frame — the operator manages its own persist
+    lifetime."""
+    if batch_feats is None:
+        batch_feats = minhash_doc_features(batch, id_col, text_col)
+    bf = batch_feats.persist()
     all_feats = index_feats.unionByName(bf)
     b_bands = bf.select("doc_id", F.posexplode("keys").alias("band", "key"))
     a_bands = all_feats.select("doc_id", F.posexplode("keys").alias("band", "key"))

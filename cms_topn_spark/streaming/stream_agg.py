@@ -390,3 +390,96 @@ def keyed_quantile_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def near_dup_stream(
+    stream_df,
+    index_root: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Streaming NEAR-dup dedup against a growing MinHash index — the
+    foreachBatch composition of the batch lifecycle (round 7): each
+    micro-batch of (doc_id, text) rows
+
+    1. computes its features ONCE (band keys + gram sets, batch-sized),
+    2. emits near-dup pairs against the index built from all COMMITTED
+       prior batches (operators/dedup.py incremental_near_dup — the prior
+       corpus text is never re-read), and
+    3. appends its own features, so the next batch dedups against
+       prior ∪ this.
+
+    The accumulated pair set equals ALL near-dup pairs of the whole corpus
+    regardless of how documents were batched: the later side of every pair
+    finds the earlier side in the index (or in its own batch), and no pair
+    can emit twice — the earlier batch could not see the later document.
+    That batching-invariance is what the gate's exact all-corpus oracle
+    checks.
+
+    Replay safety (foreachBatch is at-least-once): pairs and features land
+    in per-batch subdirectories written with overwrite semantics, the
+    committed marker advances via the same atomic-rename frame as the fold
+    shapes, and the index read lists only subdirectories ≤ the committed
+    marker — a crashed attempt's partial writes are invisible and simply
+    overwritten on replay. At scale the subdir listing becomes a table
+    manifest (Iceberg snapshot per batch); the layout is the same idea.
+
+    Ids must be unique across the whole stream (the crawl invariant)."""
+    from ..operators.dedup import incremental_near_dup, minhash_doc_features
+
+    feat_root = os.path.join(index_root, "features")
+    pairs_root = os.path.join(index_root, "pairs")
+    os.makedirs(feat_root, exist_ok=True)
+    os.makedirs(pairs_root, exist_ok=True)
+    marker = os.path.join(index_root, "committed.frame")
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        committed, _ = _read_frame(marker)
+        if batch_id <= committed:
+            return  # replayed after restart — pairs/features already final
+        spark = batch_df.sparkSession
+        feats = minhash_doc_features(
+            batch_df.select(id_col, text_col), id_col, text_col
+        ).localCheckpoint(eager=True)
+        prior = [
+            os.path.join(feat_root, d)
+            for d in sorted(os.listdir(feat_root))
+            if d.startswith("b") and d[1:].isdigit() and int(d[1:]) <= committed
+        ]
+        if prior:
+            idx = spark.read.parquet(*prior)
+        else:
+            idx = spark.createDataFrame(
+                [], "doc_id long, keys array<long>, grams array<long>"
+            )
+        pairs = incremental_near_dup(
+            batch_df, idx, threshold, id_col, text_col, batch_feats=feats
+        )
+        pairs.write.mode("overwrite").parquet(os.path.join(pairs_root, f"b{batch_id}"))
+        feats.write.mode("overwrite").parquet(os.path.join(feat_root, f"b{batch_id}"))
+        _write_frame(marker, batch_id, None)  # the commit point
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_near_dup_pairs(spark, index_root: str):
+    """All pairs emitted by :func:`near_dup_stream` so far (committed
+    batches only)."""
+    committed, _ = _read_frame(os.path.join(index_root, "committed.frame"))
+    pairs_root = os.path.join(index_root, "pairs")
+    dirs = [
+        os.path.join(pairs_root, d)
+        for d in sorted(os.listdir(pairs_root))
+        if d.startswith("b") and d[1:].isdigit() and int(d[1:]) <= committed
+    ]
+    if not dirs:
+        return spark.createDataFrame([], "a_id long, b_id long")
+    return spark.read.parquet(*dirs)

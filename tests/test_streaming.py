@@ -347,3 +347,72 @@ def test_stream_interval_join_matches_batch_join(spark, sf001_dir):
     )
     assert len(exp) > 0
     assert got == exp
+
+
+class TestNearDupStream:
+    def _run_stream(self, spark, src, index_root, ckpt):
+        from cms_topn_spark.streaming.stream_agg import near_dup_stream
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = near_dup_stream(stream, index_root, ckpt, threshold=0.8)
+        q.awaitTermination()
+
+    def test_cross_batch_pairs_found_and_replay_is_noop(self, spark, tmp_path):
+        """A dup pair split across micro-batches must be found from the
+        persisted index; replaying the whole stream against the same index
+        (fresh checkpoint ⇒ batch ids restart) must be a committed-marker
+        no-op — the pair set cannot change or double."""
+        from cms_topn_spark.streaming.stream_agg import read_near_dup_pairs
+
+        text_a = "the quick brown fox jumps over the lazy dog again ok"
+        rows = [
+            (0, text_a),
+            (1, "completely unrelated content about mergeable sketches"),
+            (2, text_a),          # dup of 0 — lands in a different file
+            (3, "another distinct document body with its own words"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        src = str(tmp_path / "in")
+        # one file per doc ⇒ 4 micro-batches ⇒ (0,2) must cross batches
+        docs.repartition("doc_id").write.parquet(src)
+        index_root = str(tmp_path / "index")
+        self._run_stream(spark, src, index_root, str(tmp_path / "ckpt1"))
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in read_near_dup_pairs(spark, index_root).collect()
+        }
+        assert got == {(0, 2)}
+        # replay against the same index with a FRESH checkpoint
+        self._run_stream(spark, src, index_root, str(tmp_path / "ckpt2"))
+        again = {
+            (r["a_id"], r["b_id"])
+            for r in read_near_dup_pairs(spark, index_root).collect()
+        }
+        assert again == {(0, 2)}
+
+    def test_accumulated_pairs_equal_batch_operator(self, spark, tmp_path, sf001_dir):
+        """Batching-invariance on the real fixture: the stream's accumulated
+        pairs equal the one-shot full-corpus operator."""
+        from cms_topn_spark.operators.dedup import minhash_lsh_pairs
+        from cms_topn_spark.streaming.stream_agg import read_near_dup_pairs
+
+        docs = spark.read.parquet(os.path.join(sf001_dir, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        src = str(tmp_path / "in")
+        docs.repartition(3).write.parquet(src)
+        index_root = str(tmp_path / "index")
+        self._run_stream(spark, src, index_root, str(tmp_path / "ckpt"))
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in read_near_dup_pairs(spark, index_root).collect()
+        }
+        full = {
+            (r["a_id"], r["b_id"]) for r in minhash_lsh_pairs(docs, 0.8).collect()
+        }
+        assert full, "fixture should contain near-dup pairs"
+        assert got == full
