@@ -1762,11 +1762,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness harness records the first ~50 entries
-    # per round. Round-7 rotation: the 3 new lifecycle gates (no record
+    # per round. Round-7 rotation: the 4 new round-7 gates (no record
     # ever) lead, then the 17 entries the r6 driver window missed (recorded
-    # in r5; none may miss two rounds running), then 30 r6-recorded
-    # stalwarts. The 20-entry tail is all r6-RECORDED queries, each with a
-    # mechanism twin still in-window this round:
+    # in r5; none may miss two rounds running), then 29 r6-recorded
+    # stalwarts. The 21-entry tail (positions 50-70) is all r6-RECORDED
+    # queries: dup_clusters (position 50 — twin minhash_lsh_pairs, whose
+    # pair output it consumes, stays at position 49) plus 20 rotated out,
+    # each with a mechanism twin still in-window this round:
     # jaccard_pairs_pruned→jaccard_pairs (same _jaccard_from_shingles),
     # lang_id_ngram→lang_id, ann_lsh_planted_topk→ann_lsh_topk+built,
     # ann_ivf_planted_topk→ann_ivf_topk+built (planted recall stays
@@ -1783,8 +1785,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hll_users_by_type→hll_distinct_parts, kll_length_gate→
     # kll_price_quantiles, events_pivot→events_unpivot (inverse pair),
     # user_sessions→session_window_counts (same boundary rule),
-    # stream_windowed_topn→stream_keyed_topn. ALL 20 MUST rotate back in
-    # r8. tests/test_rotation.py enforces the no-two-misses invariant.
+    # stream_windowed_topn→stream_keyed_topn. ALL 21 tail entries
+    # (INCLUDING dup_clusters) MUST rotate back into the first 50 in r8.
+    # tests/test_rotation.py enforces the no-two-misses invariant.
     return {
         "ann_ivf_built_topk": q_ann_ivf_built_topk,
         "ann_lsh_built_topk": q_ann_lsh_built_topk,

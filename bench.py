@@ -109,6 +109,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _source_hash(*fns) -> str:
+    """Short digest of the given functions' source — cache-key component so
+    an edited generator invalidates its dataset cache automatically."""
+    import hashlib
+    import inspect
+
+    h = hashlib.md5()
+    for fn in fns:
+        h.update(inspect.getsource(fn).encode())
+    return h.hexdigest()[:8]
+
+
 def _tree_cpu_seconds() -> float:
     """utime+stime of this process and every live descendant (JVM + Python
     workers), from /proc — the cpu-normalized supplement to wall-clock
@@ -597,11 +609,12 @@ def run_query_scaling(levels=SCALING_LEVELS, reps: int = QSCALING_REPS) -> dict:
 
     lo, hi = levels
     # deterministic datasets (splitmix/xxhash over a range) ⇒ cacheable
-    # across sessions, same rationale + validation as the flagship scaling
-    # cache; SPARK_GRAFT_SCALING_FRESH=1 forces regeneration of both
+    # across sessions, same rationale + validation + source-hash
+    # invalidation as the flagship scaling cache;
+    # SPARK_GRAFT_SCALING_FRESH=1 forces regeneration of both
     tmp = (
         f"/tmp/spark_graft_qscale_cache_{QSCALING_MINHASH_DOCS}"
-        f"_{QSCALING_KLL_ROWS}_{QSCALING_KLL_GROUPS}"
+        f"_{QSCALING_KLL_ROWS}_{QSCALING_KLL_GROUPS}_{_source_hash(_qs_synth_docs)}"
     )
     docs_path = os.path.join(tmp, "docs.parquet")
     ev_path = os.path.join(tmp, "events.parquet")
@@ -850,10 +863,17 @@ def main() -> None:
         # the generator is deterministic (splitmix streams keyed by doc id),
         # so the dataset is CACHEABLE across sessions: regeneration is
         # minutes of local[32] work whose 1-minute loadavg shadow the
-        # scaling section then has to wait out. Cache key = (docs, files);
-        # a _SUCCESS marker plus the expected part-file count validates a
-        # prior session's write. SPARK_GRAFT_SCALING_FRESH=1 forces regen.
-        cache_root = f"/tmp/spark_graft_scaling_cache_{SCALING_DOCS}_{n_files}"
+        # scaling section then has to wait out. Cache key = (docs, files,
+        # generator-source hash — an edited generator auto-invalidates
+        # instead of silently measuring on stale data); a _SUCCESS marker
+        # plus the expected part-file count validates a prior session's
+        # write. SPARK_GRAFT_SCALING_FRESH=1 forces regen. Single-user box:
+        # concurrent bench processes are not a supported mode (they would
+        # race on the shared path exactly as they already race on the CPU).
+        cache_root = (
+            f"/tmp/spark_graft_scaling_cache_{SCALING_DOCS}_{n_files}"
+            f"_{_source_hash(generate_webpages)}"
+        )
         input_path = os.path.join(cache_root, "webpages.parquet")
 
         def _cache_valid() -> bool:

@@ -703,14 +703,18 @@ def incremental_near_dup(
     :func:`minhash_lsh_pairs`).
 
     Scale shape — the reason this operator exists: per batch, the kernel
-    pass runs over the BATCH ONLY; the prior corpus contributes its
-    (already tokenized, already banded) index rows through uniform-key
-    equi-joins (band-key candidates, then doc_id gram-set fetches for the
-    exact verify). The old corpus TEXT is never re-scanned and never
-    re-hashed — cost per batch is O(batch tokens + candidates), not
-    O(corpus), which at a 10¹²-doc corpus taking daily 10⁹-doc batches is
-    the difference between a nightly job and re-running the whole dedup.
-    Ids must be unique across prior∪batch (the usual crawl invariant).
+    pass (tokenize + murmur + signatures — the dominant per-document cost)
+    runs over the BATCH ONLY; the prior corpus TEXT is never re-scanned
+    and never re-hashed. The index stage IS still read per batch — three
+    column-pruned passes (band keys for the candidate join; gram sets for
+    each verify side) through uniform-key equi-joins — so per-batch cost
+    is O(batch tokens + candidates) kernel work plus O(index) column-
+    pruned I/O. At a 10¹²-doc corpus, partition/bucket the feature stage
+    by band key and by doc id so those joins prune to the batch's matching
+    buckets instead of streaming the whole stage (the layout move this
+    local form stands in for); the win over re-running the full dedup —
+    not re-tokenizing/re-hashing 10¹² documents nightly — holds either
+    way. Ids must be unique across prior∪batch (the crawl invariant).
 
     ``batch_feats`` lets a caller that already computed the batch's
     features (e.g. the streaming shape, which also appends them to the
@@ -737,16 +741,7 @@ def incremental_near_dup(
         )
         .distinct()
     )
-    fa = all_feats.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("gs_a"))
-    fb = all_feats.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gs_b"))
-    verified = (
-        cand.join(fa, "a_id")
-        .join(fb, "b_id")
-        .withColumn("i", F.size(F.array_intersect("gs_a", "gs_b")))
-        .withColumn("u", F.size("gs_a") + F.size("gs_b") - F.col("i"))
-        .where(F.col("i") / F.col("u") >= threshold)
-        .select("a_id", "b_id")
-    )
+    verified = _verify_gram_pairs(cand, all_feats, threshold)
     if not materialize:
         # lazy path: the caller owns recomputation; nothing may stay
         # persisted past return (no handle to unpersist)
@@ -755,6 +750,25 @@ def incremental_near_dup(
     out = verified.localCheckpoint(eager=True)
     bf.unpersist()
     return out
+
+
+def _verify_gram_pairs(cand: DataFrame, feats: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification shared by :func:`minhash_lsh_pairs` and
+    :func:`incremental_near_dup`: candidate pairs (a_id, b_id) join back to
+    the per-doc gram-hash sets in ``feats`` and survive iff
+    |∩| / |∪| ≥ threshold. One implementation so the full and incremental
+    operators cannot silently diverge on the verify math — the exact
+    equality their shared oracle and the fuzz invariant depend on."""
+    fa = feats.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("gs_a"))
+    fb = feats.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gs_b"))
+    return (
+        cand.join(fa, "a_id")
+        .join(fb, "b_id")
+        .withColumn("i", F.size(F.array_intersect("gs_a", "gs_b")))
+        .withColumn("u", F.size("gs_a") + F.size("gs_b") - F.col("i"))
+        .where(F.col("i") / F.col("u") >= threshold)
+        .select("a_id", "b_id")
+    )
 
 
 def minhash_lsh_pairs(
@@ -804,16 +818,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    fa = feats.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("gs_a"))
-    fb = feats.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gs_b"))
-    verified = (
-        cand.join(fa, "a_id")
-        .join(fb, "b_id")
-        .withColumn("i", F.size(F.array_intersect("gs_a", "gs_b")))
-        .withColumn("u", F.size("gs_a") + F.size("gs_b") - F.col("i"))
-        .where(F.col("i") / F.col("u") >= threshold)
-        .select("a_id", "b_id")
-    )
+    verified = _verify_gram_pairs(cand, feats, threshold)
     if not materialize:
         return verified
     out = verified.localCheckpoint(eager=True)

@@ -145,7 +145,10 @@ def _ivf_search(
     """The query stage shared by :func:`ivf_topk` (refit-per-call) and
     :func:`ivf_query` (build-once-load-query): probe cells → candidate join
     → exact cosine re-rank. Identical code path is what makes the two
-    lifecycles answer identically (parity pytest-pinned)."""
+    lifecycles answer identically (parity pytest-pinned). ``n_probe`` above
+    the cell count clamps to full probe HERE, so refit and loaded forms
+    agree on out-of-range arguments too."""
+    n_probe = min(int(n_probe), int(cents.shape[0]))
     spark = df.sparkSession
     empty_schema = "query_id long, neighbor_id long, rank int"
     qids = [int(q) for q in query_ids]
@@ -300,12 +303,8 @@ def ivf_query(
     """Answer a query batch through a built/loaded index — no refit, no
     reassignment; the only corpus access is fetching the query vectors and
     the candidate embeddings by id. Same output schema and (via
-    :func:`_ivf_search`) same answers as :func:`ivf_topk` at equal
-    configuration."""
-    if n_probe > index.n_cells:
-        raise ValueError(
-            f"n_probe={n_probe} exceeds the index's n_cells={index.n_cells}"
-        )
+    :func:`_ivf_search`, including its full-probe clamp of an oversized
+    ``n_probe``) same answers as :func:`ivf_topk` at equal configuration."""
     return _ivf_search(
         df, index.centroids, index.assignments, query_ids, k, n_probe, id_col, vec_col
     )

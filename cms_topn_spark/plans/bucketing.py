@@ -137,3 +137,24 @@ def scan_count(df: DataFrame) -> int:
     if cut != -1:
         plan = plan[:cut]
     return len(_FILESCAN_NODE.findall(plan))
+
+
+_RDD_SCAN_NODE = re.compile(r"(?m)^[\s:+\-*()\d]*Scan ExistingRDD\b")
+
+
+def rdd_scan_count(df: DataFrame) -> int:
+    """Number of checkpointed-RDD scan leaves in the FINAL executed plan —
+    the companion to :func:`scan_count` for STAGED operators, whose final
+    plans read eager localCheckpoints instead of files. A FileScan count of
+    0 alone certifies nothing about work hidden BEHIND a remaining
+    checkpoint (drop the `kept` staging in jaccard_pairs_pruned while
+    keeping `sh` staged and FileScans stay 0 — but the pruning join then
+    recomputes per consumer, and THIS count jumps). Pinning both counts
+    closes that blind spot. Same collect()-to-finalize/Initial-Plan-slice
+    mechanics as scan_count."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cut = plan.find("== Initial Plan ==")
+    if cut != -1:
+        plan = plan[:cut]
+    return len(_RDD_SCAN_NODE.findall(plan))

@@ -419,15 +419,24 @@ def near_dup_stream(
     That batching-invariance is what the gate's exact all-corpus oracle
     checks.
 
-    Replay safety (foreachBatch is at-least-once): pairs and features land
-    in per-batch subdirectories written with overwrite semantics, the
-    committed marker advances via the same atomic-rename frame as the fold
-    shapes, and the index read lists only subdirectories ≤ the committed
-    marker — a crashed attempt's partial writes are invisible and simply
-    overwritten on replay. At scale the subdir listing becomes a table
-    manifest (Iceberg snapshot per batch); the layout is the same idea.
+    Replay safety (foreachBatch is at-least-once) and multi-run growth: a
+    batch's pairs and features land in a subdirectory named by (checkpoint
+    lineage, batch id) with overwrite semantics, and the committed marker
+    holds the MANIFEST of finished subdirectories (atomic-rename frame, as
+    the fold shapes). A replayed batch (same lineage, same id) is already
+    in the manifest and skips; a crashed attempt's partial subdirectory is
+    not in the manifest, so it stays invisible and is overwritten on
+    replay. A NEW stream run feeding the same index (fresh checkpoint over
+    new files — the growing-corpus lifecycle) gets a different lineage
+    key, so its restarted batch ids cannot collide with or be mistaken for
+    the earlier run's — new data is never silently skipped. At scale the
+    manifest becomes a table format's snapshot log (Iceberg); same idea.
 
-    Ids must be unique across the whole stream (the crawl invariant)."""
+    Ids must be unique across ALL runs feeding one index (the crawl
+    invariant) — re-feeding already-indexed documents self-pairs are
+    excluded by id, but their features would double in the index."""
+    import hashlib
+
     from ..operators.dedup import incremental_near_dup, minhash_doc_features
 
     feat_root = os.path.join(index_root, "features")
@@ -435,10 +444,14 @@ def near_dup_stream(
     os.makedirs(feat_root, exist_ok=True)
     os.makedirs(pairs_root, exist_ok=True)
     marker = os.path.join(index_root, "committed.frame")
+    run_key = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:10]
 
     def process_batch(batch_df, batch_id: int) -> None:
-        committed, _ = _read_frame(marker)
-        if batch_id <= committed:
+        sub = f"{run_key}-b{batch_id}"
+        committed = _read_manifest(marker)
+        if sub in committed:
             return  # replayed after restart — pairs/features already final
         spark = batch_df.sparkSession
         feats = minhash_doc_features(
@@ -447,7 +460,7 @@ def near_dup_stream(
         prior = [
             os.path.join(feat_root, d)
             for d in sorted(os.listdir(feat_root))
-            if d.startswith("b") and d[1:].isdigit() and int(d[1:]) <= committed
+            if d in committed
         ]
         if prior:
             idx = spark.read.parquet(*prior)
@@ -458,9 +471,10 @@ def near_dup_stream(
         pairs = incremental_near_dup(
             batch_df, idx, threshold, id_col, text_col, batch_feats=feats
         )
-        pairs.write.mode("overwrite").parquet(os.path.join(pairs_root, f"b{batch_id}"))
-        feats.write.mode("overwrite").parquet(os.path.join(feat_root, f"b{batch_id}"))
-        _write_frame(marker, batch_id, None)  # the commit point
+        pairs.write.mode("overwrite").parquet(os.path.join(pairs_root, sub))
+        feats.write.mode("overwrite").parquet(os.path.join(feat_root, sub))
+        # the commit point: manifest gains the subdir in one atomic rename
+        _write_manifest(marker, batch_id, committed + [sub])
 
     writer = stream_df.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -470,16 +484,31 @@ def near_dup_stream(
     return writer.start()
 
 
+def _write_manifest(marker: str, batch_id: int, subdirs: list[str]) -> None:
+    _write_frame(marker, batch_id, "\n".join(sorted(set(subdirs))).encode())
+
+
+def _read_manifest(marker: str) -> list[str]:
+    """Committed subdirectory names ((lineage, batch)-keyed) — [] if no
+    stream has committed on this root yet."""
+    _, payload = _read_frame(marker)
+    if not payload:
+        return []
+    return [s for s in payload.decode().split("\n") if s]
+
+
 def read_near_dup_pairs(spark, index_root: str):
     """All pairs emitted by :func:`near_dup_stream` so far (committed
     batches only)."""
-    committed, _ = _read_frame(os.path.join(index_root, "committed.frame"))
     pairs_root = os.path.join(index_root, "pairs")
-    dirs = [
-        os.path.join(pairs_root, d)
-        for d in sorted(os.listdir(pairs_root))
-        if d.startswith("b") and d[1:].isdigit() and int(d[1:]) <= committed
-    ]
+    committed = set(_read_manifest(os.path.join(index_root, "committed.frame")))
+    try:
+        names = sorted(os.listdir(pairs_root))
+    except OSError:
+        names = []  # no stream has run on this root yet — empty, not a crash
+    dirs = [os.path.join(pairs_root, d) for d in names if d in committed]
     if not dirs:
         return spark.createDataFrame([], "a_id long, b_id long")
-    return spark.read.parquet(*dirs)
+    # distinct: a re-fed document (id-uniqueness contract violation, or a
+    # deliberate reprocess) may re-emit a pair into a later run's subdir
+    return spark.read.parquet(*dirs).distinct()

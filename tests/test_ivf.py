@@ -157,11 +157,23 @@ class TestIndexLifecycle:
         with pytest.raises(ValueError, match="missing centroids"):
             ivf.ivf_load(spark, d)
 
-    def test_ivf_query_validates_n_probe(self, spark, emb, tmp_path):
+    def test_oversized_n_probe_clamps_identically_in_both_forms(self, spark, emb, tmp_path):
+        """n_probe > n_cells clamps to full probe in BOTH lifecycles (the
+        clamp lives in the shared search), so refit-vs-loaded parity holds
+        at the API edge too."""
         d = str(tmp_path / "ivf_np")
         idx = ivf.ivf_build(emb, d, n_cells=4, iters=1)
-        with pytest.raises(ValueError, match="n_probe"):
-            ivf.ivf_query(idx, emb, [0], n_probe=5)
+        refit = sorted(
+            tuple(r)
+            for r in ivf.ivf_topk(emb, [0, 1], k=3, n_cells=4, n_probe=9, iters=1).collect()
+        )
+        served = sorted(
+            tuple(r) for r in ivf.ivf_query(idx, emb, [0, 1], k=3, n_probe=9).collect()
+        )
+        full = sorted(
+            tuple(r) for r in ivf.ivf_query(idx, emb, [0, 1], k=3, n_probe=4).collect()
+        )
+        assert served == refit == full
 
     def test_lsh_build_load_query_parity(self, spark, emb, tmp_path):
         d = str(tmp_path / "lsh_idx")

@@ -32,7 +32,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from cms_topn_spark.plans.bucketing import scan_count
+from cms_topn_spark.plans.bucketing import rdd_scan_count, scan_count
 
 # name -> expected FileScan count in the executed final plan at sf0.001.
 # 0 = staged/eagerly-materialized (see module docstring).
@@ -75,6 +75,33 @@ EXPECTED_SCANS = {
     "ann_lsh_built_topk": 4,
     "incremental_near_dup": 0,
 }
+
+
+# Staged operators read eager localCheckpoints, so their FileScan count of
+# 0 alone can't see a PARTIALLY removed staging (work recomputed from a
+# remaining checkpoint — the blind spot a reviewer flagged in round 7).
+# Pinning the ExistingRDD-scan count too closes it: unstage `kept` in
+# jaccard_pairs_pruned and its final plan re-consumes the `sh` checkpoint
+# per branch (the pruning join recomputed per consumer), moving this count
+# off its pinned value.
+EXPECTED_RDD_SCANS = {
+    "jaccard_pairs": 3,  # sh: sizes + both self-join sides
+    "jaccard_pairs_pruned": 3,  # kept: sizes + both self-join sides
+    "tfidf_top_terms": 2,  # tf: df aggregation + score join
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_RDD_SCANS))
+def test_final_plan_rdd_scan_count(name, spark, sf001_dir):
+    import __spark_entry__ as entry
+
+    df = entry.queries()[name](spark, sf001_dir)
+    got = rdd_scan_count(df)
+    assert got == EXPECTED_RDD_SCANS[name], (
+        f"{name}: executed final plan reads checkpointed RDDs {got} times, "
+        f"expected {EXPECTED_RDD_SCANS[name]} — a staging layer was removed "
+        f"or added (work is being recomputed behind a checkpoint)"
+    )
 
 
 def _bench_headline() -> list[str]:

@@ -361,44 +361,70 @@ class TestNearDupStream:
         q = near_dup_stream(stream, index_root, ckpt, threshold=0.8)
         q.awaitTermination()
 
-    def test_cross_batch_pairs_found_and_replay_is_noop(self, spark, tmp_path):
-        """A dup pair split across micro-batches must be found from the
-        persisted index; replaying the whole stream against the same index
-        (fresh checkpoint ⇒ batch ids restart) must be a committed-marker
-        no-op — the pair set cannot change or double."""
+    def _pairs(self, spark, index_root):
         from cms_topn_spark.streaming.stream_agg import read_near_dup_pairs
 
-        text_a = "the quick brown fox jumps over the lazy dog again ok"
+        return {
+            (r["a_id"], r["b_id"])
+            for r in read_near_dup_pairs(spark, index_root).collect()
+        }
+
+    TEXT_A = "the quick brown fox jumps over the lazy dog again ok"
+
+    def test_cross_batch_pairs_and_same_checkpoint_restart_noop(self, spark, tmp_path):
+        """A dup pair split across micro-batches must be found from the
+        persisted index; restarting the stream with the SAME checkpoint
+        (Spark's restart contract) processes nothing new and changes
+        nothing."""
         rows = [
-            (0, text_a),
+            (0, self.TEXT_A),
             (1, "completely unrelated content about mergeable sketches"),
-            (2, text_a),          # dup of 0 — lands in a different file
+            (2, self.TEXT_A),          # dup of 0 — may land in another file
             (3, "another distinct document body with its own words"),
         ]
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         src = str(tmp_path / "in")
-        # one file per doc ⇒ 4 micro-batches ⇒ (0,2) must cross batches
         docs.repartition("doc_id").write.parquet(src)
         index_root = str(tmp_path / "index")
-        self._run_stream(spark, src, index_root, str(tmp_path / "ckpt1"))
-        got = {
-            (r["a_id"], r["b_id"])
-            for r in read_near_dup_pairs(spark, index_root).collect()
-        }
-        assert got == {(0, 2)}
-        # replay against the same index with a FRESH checkpoint
-        self._run_stream(spark, src, index_root, str(tmp_path / "ckpt2"))
-        again = {
-            (r["a_id"], r["b_id"])
-            for r in read_near_dup_pairs(spark, index_root).collect()
-        }
-        assert again == {(0, 2)}
+        ckpt = str(tmp_path / "ckpt")
+        self._run_stream(spark, src, index_root, ckpt)
+        assert self._pairs(spark, index_root) == {(0, 2)}
+        self._run_stream(spark, src, index_root, ckpt)  # restart: no new data
+        assert self._pairs(spark, index_root) == {(0, 2)}
+
+    def test_second_run_with_new_files_grows_index(self, spark, tmp_path):
+        """The day-2 lifecycle (round-7 review finding): a NEW stream run —
+        fresh checkpoint, new source files — feeding the SAME index must
+        dedup the new docs against everything already indexed, not be
+        mistaken for a replay of the first run's batch ids."""
+        day1 = spark.createDataFrame(
+            [(0, self.TEXT_A), (1, "some other unrelated day one body")],
+            "doc_id long, text string",
+        )
+        day2 = spark.createDataFrame(
+            [(10, self.TEXT_A), (11, "fresh day two content distinct words")],
+            "doc_id long, text string",
+        )
+        index_root = str(tmp_path / "index")
+        src1, src2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+        day1.repartition(2).write.parquet(src1)
+        day2.repartition(2).write.parquet(src2)
+        self._run_stream(spark, src1, index_root, str(tmp_path / "ckpt1"))
+        assert self._pairs(spark, index_root) == set()
+        self._run_stream(spark, src2, index_root, str(tmp_path / "ckpt2"))
+        # doc 10 (day 2) must pair with doc 0 (day 1) through the index
+        assert self._pairs(spark, index_root) == {(0, 10)}
+
+    def test_read_pairs_before_any_run_is_empty(self, spark, tmp_path):
+        from cms_topn_spark.streaming.stream_agg import read_near_dup_pairs
+
+        out = read_near_dup_pairs(spark, str(tmp_path / "never_ran"))
+        assert out.collect() == []
 
     def test_accumulated_pairs_equal_batch_operator(self, spark, tmp_path, sf001_dir):
         """Batching-invariance on the real fixture: the stream's accumulated
         pairs equal the one-shot full-corpus operator."""
         from cms_topn_spark.operators.dedup import minhash_lsh_pairs
-        from cms_topn_spark.streaming.stream_agg import read_near_dup_pairs
 
         docs = spark.read.parquet(os.path.join(sf001_dir, "documents.parquet")).select(
             "doc_id", "text"
@@ -407,10 +433,7 @@ class TestNearDupStream:
         docs.repartition(3).write.parquet(src)
         index_root = str(tmp_path / "index")
         self._run_stream(spark, src, index_root, str(tmp_path / "ckpt"))
-        got = {
-            (r["a_id"], r["b_id"])
-            for r in read_near_dup_pairs(spark, index_root).collect()
-        }
+        got = self._pairs(spark, index_root)
         full = {
             (r["a_id"], r["b_id"]) for r in minhash_lsh_pairs(docs, 0.8).collect()
         }
