@@ -1762,83 +1762,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness harness records the first ~50 entries
-    # per round. Round-7 rotation: the 4 new round-7 gates (no record
-    # ever) lead, then the 17 entries the r6 driver window missed (recorded
-    # in r5; none may miss two rounds running), then 29 r6-recorded
-    # stalwarts. The 21-entry tail (positions 50-70) is all r6-RECORDED
-    # queries: dup_clusters (position 50 — twin minhash_lsh_pairs, whose
-    # pair output it consumes, stays at position 49) plus 20 rotated out,
-    # each with a mechanism twin still in-window this round:
-    # jaccard_pairs_pruned→jaccard_pairs (same _jaccard_from_shingles),
-    # lang_id_ngram→lang_id, ann_lsh_planted_topk→ann_lsh_topk+built,
-    # ann_ivf_planted_topk→ann_ivf_topk+built (planted recall stays
-    # pytest-pinned), simhash_near_pairs→simhash_docs (scheme bit-exact in
-    # pytest), corpus_profile_direct→corpus_profile (identical oracle SQL),
-    # grouped_kll_quantiles_filtered→grouped_kll_quantiles+_direct,
-    # grouped_topn→grouped_user_freq+cms_topn_frequency_probe,
-    # bloom_customer_semijoin→incremental_dedup (same Bloom mechanism),
-    # winnow_fingerprints→doc_fingerprints, token_stats→doc_chunks (same
-    # tokenizer), curate_corpus→quality_score+repetition_stats+lang_id
-    # (its components), fingerprint_decontamination→contamination_report,
-    # cms_topn_event_types→cms_topn_union_partials (same oracle; goldens),
-    # exact_dedup→incremental_dedup (digest mechanism),
-    # hll_users_by_type→hll_distinct_parts, kll_length_gate→
-    # kll_price_quantiles, events_pivot→events_unpivot (inverse pair),
-    # user_sessions→session_window_counts (same boundary rule),
-    # stream_windowed_topn→stream_keyed_topn. ALL 21 tail entries
-    # (INCLUDING dup_clusters) MUST rotate back into the first 50 in r8.
+    # per round. Round-8 rotation (the reorder round-7's registry comment and
+    # tests/test_rotation.py prescribe): the 21-entry round-7 tail — all
+    # r6-recorded, none in CORRECTNESS_r07 — leads the window so none goes
+    # two rounds unrecorded, followed by 29 r7-recorded stalwarts. The new
+    # 21-entry tail (positions 50-70) is all r7-RECORDED queries, each with
+    # a mechanism twin still in-window this round:
+    # jaccard_pairs→jaccard_pairs_pruned (same _jaccard_from_shingles),
+    # lang_id→lang_id_ngram, simhash_docs→simhash_near_pairs (scheme
+    # bit-exact in pytest), corpus_profile→corpus_profile_direct (identical
+    # oracle SQL), grouped_kll_quantiles_direct→grouped_kll_quantiles +
+    # grouped_kll_quantiles_filtered (same grouped_quantiles_parquet),
+    # grouped_user_freq→grouped_topn (same grouped-states machinery),
+    # incremental_dedup→bloom_customer_semijoin (same Bloom mechanism) +
+    # exact_dedup (digest mechanism), doc_fingerprints→winnow_fingerprints,
+    # doc_chunks→token_stats (same tokenizer), quality_score→curate_corpus
+    # (component), repetition_stats→curate_corpus (component),
+    # contamination_report→fingerprint_decontamination,
+    # cms_topn_union_partials→cms_topn_event_types (same oracle; goldens),
+    # hll_distinct_parts→hll_users_by_type, kll_price_quantiles→
+    # kll_length_gate, events_unpivot→events_pivot (inverse pair),
+    # session_window_counts→user_sessions (same boundary rule),
+    # stream_keyed_topn→stream_windowed_topn (same keyed stateful shape),
+    # ann_lsh_topk→ann_lsh_built_topk + ann_lsh_planted_topk,
+    # ann_ivf_topk→ann_ivf_built_topk + ann_ivf_planted_topk,
+    # cosine_near_dup_pairs→cosine_lsh_planted_pairs (same cosine verify).
+    # ALL 21 tail entries MUST rotate back into the first 50 next round.
     # tests/test_rotation.py enforces the no-two-misses invariant.
     return {
-        "ann_ivf_built_topk": q_ann_ivf_built_topk,
-        "ann_lsh_built_topk": q_ann_lsh_built_topk,
-        "incremental_near_dup": q_incremental_near_dup,
-        "stream_near_dup": q_stream_near_dup,
-        "ann_brute_topk": q_ann_brute_topk,
-        "grouped_kll_quantiles_direct": q_grouped_kll_quantiles_direct,
-        "grouped_kll_quantiles": q_grouped_kll_quantiles,
-        "grouped_user_freq": q_grouped_user_freq,
-        "incremental_dedup": q_incremental_dedup,
-        "quality_score": q_quality_score,
-        "cms_topn_union_partials": q_cms_topn_union_partials,
-        "doc_fingerprints": q_doc_fingerprints,
-        "doc_chunks": q_doc_chunks,
-        "repetition_stats": q_repetition_stats,
-        "contamination_report": q_contamination_report,
-        "simhash_docs": q_simhash_docs,
-        "jaccard_pairs": q_jaccard_pairs,
-        "lang_id": q_lang_id,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "corpus_profile": q_corpus_profile,
-        "asof_join_events": q_asof_join_events,
-        "range_join_attribution": q_range_join_attribution,
-        "stream_interval_join": q_stream_interval_join,
-        "partition_pruned_scan": q_partition_pruned_scan,
-        "events_rollup": q_events_rollup,
-        "events_unpivot": q_events_unpivot,
-        "session_window_counts": q_session_window_counts,
-        "seq_packing": q_seq_packing,
-        "bucketed_orders_join": q_bucketed_orders_join,
-        "stream_keyed_quantiles": q_stream_keyed_quantiles,
-        "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
-        "cosine_lsh_planted_pairs": q_cosine_lsh_planted_pairs,
-        "stratified_sample": q_stratified_sample,
-        "cms_topn_doc_tokens": q_cms_topn_doc_tokens,
-        "cms_topn_frequency_probe": q_cms_topn_frequency_probe,
-        "hll_distinct_parts": q_hll_distinct_parts,
-        "kll_price_quantiles": q_kll_price_quantiles,
-        "tdigest_median_by_type": q_tdigest_median_by_type,
-        "mms_user_masks": q_mms_user_masks,
-        "stream_event_type_counts": q_stream_event_type_counts,
-        "stream_keyed_topn": q_stream_keyed_topn,
-        "stream_dedup": q_stream_dedup,
-        "grouped_user_days": q_grouped_user_days,
-        "cms_vocab_gate": q_cms_vocab_gate,
-        "media_pixel_stats": q_media_pixel_stats,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "top_nations_revenue": q_top_nations_revenue,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        # --- the 21 promoted from round-7's tail (unrecorded in r7) ---
         "dup_clusters": q_dup_clusters,
         "jaccard_pairs_pruned": q_jaccard_pairs_pruned,
         "lang_id_ngram": q_lang_id_ngram,
@@ -1860,6 +1812,58 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "user_sessions": q_user_sessions,
         "stream_windowed_topn": q_stream_windowed_topn,
+        # --- 29 r7-recorded stalwarts completing the window ---
+        "ann_ivf_built_topk": q_ann_ivf_built_topk,
+        "ann_lsh_built_topk": q_ann_lsh_built_topk,
+        "incremental_near_dup": q_incremental_near_dup,
+        "stream_near_dup": q_stream_near_dup,
+        "ann_brute_topk": q_ann_brute_topk,
+        "grouped_kll_quantiles": q_grouped_kll_quantiles,
+        "asof_join_events": q_asof_join_events,
+        "range_join_attribution": q_range_join_attribution,
+        "stream_interval_join": q_stream_interval_join,
+        "partition_pruned_scan": q_partition_pruned_scan,
+        "events_rollup": q_events_rollup,
+        "seq_packing": q_seq_packing,
+        "bucketed_orders_join": q_bucketed_orders_join,
+        "stream_keyed_quantiles": q_stream_keyed_quantiles,
+        "cosine_lsh_planted_pairs": q_cosine_lsh_planted_pairs,
+        "stratified_sample": q_stratified_sample,
+        "cms_topn_doc_tokens": q_cms_topn_doc_tokens,
+        "cms_topn_frequency_probe": q_cms_topn_frequency_probe,
+        "tdigest_median_by_type": q_tdigest_median_by_type,
+        "mms_user_masks": q_mms_user_masks,
+        "stream_event_type_counts": q_stream_event_type_counts,
+        "stream_dedup": q_stream_dedup,
+        "grouped_user_days": q_grouped_user_days,
+        "cms_vocab_gate": q_cms_vocab_gate,
+        "media_pixel_stats": q_media_pixel_stats,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "top_nations_revenue": q_top_nations_revenue,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        # --- r7-recorded tail (positions 50-70) — in-window twins above ---
+        "jaccard_pairs": q_jaccard_pairs,
+        "lang_id": q_lang_id,
+        "simhash_docs": q_simhash_docs,
+        "corpus_profile": q_corpus_profile,
+        "grouped_kll_quantiles_direct": q_grouped_kll_quantiles_direct,
+        "grouped_user_freq": q_grouped_user_freq,
+        "incremental_dedup": q_incremental_dedup,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_chunks": q_doc_chunks,
+        "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "contamination_report": q_contamination_report,
+        "cms_topn_union_partials": q_cms_topn_union_partials,
+        "hll_distinct_parts": q_hll_distinct_parts,
+        "kll_price_quantiles": q_kll_price_quantiles,
+        "events_unpivot": q_events_unpivot,
+        "stream_keyed_topn": q_stream_keyed_topn,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
+        "session_window_counts": q_session_window_counts,
     }
 
 
