@@ -47,6 +47,21 @@ class TDigest(MergeableSketch):
             self.means = np.empty(0)
             self.weights = np.empty(0)
             return
+        # Exact-regime fast path: the greedy rule merges neighbors iff
+        # k((cum+proposed)/total) − k(cum/total) ≤ 1. k'(q) ≥ delta/π
+        # (minimum at q = 1/2), and proposed ≥ 2 whenever every weight is
+        # ≥ 1, so the k-increment of any candidate merge is at least
+        # 2·delta/(π·total) — strictly > 1 for delta ≥ π·total (2× margin,
+        # so float rounding cannot flip it). No merge can fire: the output
+        # IS the input, byte-for-byte what the scalar loop would append.
+        # This turns the exact-regime gates (delta ≥ πN) from a Python
+        # loop over every point into O(1).
+        if self.delta >= math.pi * total and (
+            len(weights) == 0 or weights.min() >= 1.0
+        ):
+            self.means = np.asarray(means, dtype=np.float64)
+            self.weights = np.asarray(weights, dtype=np.float64)
+            return
         out_m: list[float] = []
         out_w: list[float] = []
         cur_m, cur_w = means[0], weights[0]
@@ -91,8 +106,10 @@ class TDigest(MergeableSketch):
         arr, w = arr[keep], w[keep]
         if len(arr) == 0:
             return
-        order0 = np.argsort(arr, kind="stable")
-        arr, w = arr[order0], w[order0]
+        # one stable argsort of the concatenation: pre-sorting the batch
+        # first is redundant — a stable sort keeps equal values in input
+        # order either way, so the (mean, weight) stream _compress sees is
+        # identical
         m = np.concatenate([self.means, arr])
         ww = np.concatenate([self.weights, w])
         order = np.argsort(m, kind="stable")

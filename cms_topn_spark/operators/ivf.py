@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .similarity import _batch_embedding_matrix, _cosine_expr
+from .similarity import _batch_embedding_matrix
 
 
 def kmeans_fit(
@@ -175,24 +175,13 @@ def _ivf_search(
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    # query embeddings only — broadcasting the unfiltered corpus would ship
-    # every vector to every executor
-    emb_q = (
-        df.where(F.col(id_col).isin(qids))
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    )
-    emb_n = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
-    scored = (
-        cand.join(F.broadcast(emb_q), "query_id")
-        .join(emb_n, "neighbor_id")
-        .withColumn("sim", _cosine_expr())
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    # exact re-rank: vectorized scoring kernel + batch-local top-k pruning,
+    # bit-identical scores to the old per-row HOF cosine (see
+    # similarity._score_candidates_topk); only candidate embeddings are
+    # ever fetched — the unfiltered corpus is still never broadcast
+    from .similarity import _score_candidates_topk
+
+    return _score_candidates_topk(cand, df, query_ids, k, id_col, vec_col)
 
 
 def ivf_topk(

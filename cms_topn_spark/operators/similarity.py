@@ -359,6 +359,129 @@ def _cosine_expr() -> F.Column:
     return dot / (norm(F.col("qv")) * norm(F.col("nv")))
 
 
+def _batch_embedding_matrix_f32(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Arrow list<float> column → (n, dim) float32 matrix — the raw stored
+    precision, for kernels that must replicate Catalyst's float arithmetic
+    bit-for-bit (:func:`_score_candidates_topk`)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not (isinstance(arr, pa.ListArray) or isinstance(arr, pa.LargeListArray)):
+        raise TypeError(f"expected list<float> embeddings, got {arr.type}")
+    offsets = arr.offsets.to_numpy()
+    if len(arr):
+        lens = np.diff(offsets[: len(arr) + 1])
+        if arr.null_count or lens.min() != lens.max():
+            raise ValueError(
+                "embeddings must be non-NULL and equal-length; got "
+                f"{arr.null_count} nulls, lengths {int(lens.min())}"
+                f"..{int(lens.max())}"
+            )
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    dim = int(offsets[1] - offsets[0]) if len(arr) else 0
+    start = int(offsets[0])
+    return flat[start : start + len(arr) * dim].reshape(len(arr), dim)
+
+
+def _score_candidates_topk(
+    cand: DataFrame,
+    df: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs (query_id, neighbor_id) → exact top-k per query:
+    the re-rank tail shared by the LSH and IVF search paths.
+
+    Scoring runs in a ``mapInArrow`` kernel that reproduces Catalyst's
+    ``aggregate(zip_with(qv, nv, *), 0.0, +)`` cosine BIT-FOR-BIT — float32
+    element products (the stored precision), each product accumulated into a
+    float64 in ascending element order, norms from float32 squares the same
+    way, one double divide at the end — so the scores (and therefore the
+    ranked output) are identical to the previous higher-order-function
+    expression, just ~vectorized instead of per-row interpreted lambdas.
+
+    The kernel also prunes per batch: rows ranked past ``k`` within a batch
+    under the global total order (sim DESC, neighbor_id ASC) can never reach
+    the global top-k, so only partitions·Q·k rows hit the final window —
+    the window input no longer scales with the candidate count. A batch
+    containing a NaN score (zero-norm vector) skips pruning for safety:
+    Spark orders NaN above all reals, and emitting the full batch keeps the
+    window's view identical in that corner."""
+    qrows = (
+        df.where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in qrows], dtype=np.float32)
+    spark = df.sparkSession
+    b_q = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    emb_n = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    with_vec = cand.join(emb_n, "neighbor_id")
+
+    def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        qi, qm = b_q.value
+        order = np.argsort(qi, kind="stable")
+        qi_sorted = qi[order]
+        dim = qm.shape[1] if len(qm) else 0
+        # per-query norm: sqrt of the float64 fold of float32 squares —
+        # same value the per-row expression produced for every row of
+        # that query
+        qsq = qm * qm  # float32
+        qnorm = np.zeros(len(qm), dtype=np.float64)
+        for d in range(dim):
+            qnorm += qsq[:, d]
+        qnorm = np.sqrt(qnorm)
+        for rb in batches:
+            names = rb.schema.names
+            qid = rb.column(names.index("query_id")).to_numpy()
+            nid = rb.column(names.index("neighbor_id")).to_numpy()
+            nm = _batch_embedding_matrix_f32(rb.column(names.index("nv")))
+            n = len(qid)
+            if n == 0:
+                continue
+            qidx = order[np.searchsorted(qi_sorted, qid)]
+            prod = qm[qidx] * nm  # float32, the zip_with products
+            dot = np.zeros(n, dtype=np.float64)
+            nsq = nm * nm
+            nnorm = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                dot += prod[:, d]
+                nnorm += nsq[:, d]
+            sim = dot / (qnorm[qidx] * np.sqrt(nnorm))
+            if n > k and not np.isnan(sim).any():
+                # batch-local top-k per query under the global total order
+                o = np.lexsort((nid, -sim, qid))
+                qs = qid[o]
+                seg = np.flatnonzero(
+                    np.concatenate(([True], qs[1:] != qs[:-1]))
+                )
+                within = np.arange(n) - np.repeat(
+                    seg, np.diff(np.concatenate((seg, [n])))
+                )
+                keep = o[within < k]
+                qid, nid, sim = qid[keep], nid[keep], sim[keep]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "query_id": pa.array(qid, pa.int64()),
+                    "neighbor_id": pa.array(nid, pa.int64()),
+                    "sim": pa.array(sim, pa.float64()),
+                }
+            )
+
+    scored = with_vec.select("query_id", "neighbor_id", "nv").mapInArrow(
+        score, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def cosine_near_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.9,
@@ -532,24 +655,11 @@ def _lsh_search(
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    # query embeddings only — broadcasting the unfiltered corpus would ship
-    # every vector to every executor
-    emb_q = (
-        df.where(F.col(id_col).isin([int(q) for q in query_ids]))
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    )
-    emb_n = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
-    scored = (
-        cand.join(F.broadcast(emb_q), "query_id")
-        .join(emb_n, "neighbor_id")
-        .withColumn("sim", _cosine_expr())
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    # exact re-rank: vectorized scoring kernel + batch-local top-k pruning,
+    # bit-identical scores to the old per-row HOF cosine (see
+    # _score_candidates_topk); only candidate embeddings are ever fetched —
+    # the unfiltered corpus is still never broadcast
+    return _score_candidates_topk(cand, df, query_ids, k, id_col, vec_col)
 
 
 class LshIndex:

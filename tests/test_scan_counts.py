@@ -66,13 +66,16 @@ EXPECTED_SCANS = {
     "jaccard_pairs_pruned": 0,  # sh + kept staged (round-6 defect: was 8)
     "contamination_report": 1,  # train/eval gram frames staged; eval-id re-join scans once
     # round-7 lifecycle gates. The counts include INDEX-STAGE parquet reads,
-    # not just corpus reads: ivf = assignments stage + 2 pruned embedding
-    # fetches (query vectors collect in their own job); lsh = signature
-    # stage ×2 (query filter is a pushed vec_id∈ids read — tiny — plus the
-    # probe join side) + 2 pruned embedding fetches. incremental_near_dup's
-    # output is eagerly materialized (0 scans in its final plan).
-    "ann_ivf_built_topk": 3,
-    "ann_lsh_built_topk": 4,
+    # not just corpus reads: ivf = assignments stage + 1 pruned candidate-
+    # embedding fetch; lsh = signature stage ×2 (query filter is a pushed
+    # vec_id∈ids read — tiny — plus the probe join side) + 1 pruned
+    # candidate-embedding fetch. Round 8 dropped one embedding scan from
+    # each: query vectors now collect in their own tiny job and broadcast
+    # into the scoring kernel (similarity._score_candidates_topk), so the
+    # final plan no longer carries the emb_q join scan.
+    # incremental_near_dup's output is eagerly materialized (0 scans).
+    "ann_ivf_built_topk": 2,
+    "ann_lsh_built_topk": 3,
     "incremental_near_dup": 0,
 }
 
