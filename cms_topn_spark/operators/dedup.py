@@ -758,17 +758,78 @@ def _verify_gram_pairs(cand: DataFrame, feats: DataFrame, threshold: float) -> D
     the per-doc gram-hash sets in ``feats`` and survive iff
     |∩| / |∪| ≥ threshold. One implementation so the full and incremental
     operators cannot silently diverge on the verify math — the exact
-    equality their shared oracle and the fuzz invariant depend on."""
-    fa = feats.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("gs_a"))
-    fb = feats.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gs_b"))
-    return (
-        cand.join(fa, "a_id")
-        .join(fb, "b_id")
-        .withColumn("i", F.size(F.array_intersect("gs_a", "gs_b")))
-        .withColumn("u", F.size("gs_a") + F.size("gs_b") - F.col("i"))
-        .where(F.col("i") / F.col("u") >= threshold)
+    equality their shared oracle and the fuzz invariant depend on.
+
+    Two-stage shape (the pair-join verify's dominant cost is shipping two
+    ~kB gram arrays per candidate through two exchanges):
+
+    1. SIZE pre-filter on int columns only: since i ≤ min(|A|,|B|) and
+       u ≥ max(|A|,|B|), J ≤ min/max as reals; keep a pair iff
+       double(min)/double(max) ≥ threshold. Rounding-safe: real x ≤ y ⟹
+       rounded(x) ≤ rounded(y), so any pair passing the final rounded
+       i/u ≥ t test also passes this one — the filter can only drop pairs
+       the verify itself would drop. On the bench corpus it drops ~55 % of
+       candidates before any array moves.
+    2. Array fetch for survivors + a sort-merge intersection kernel: each
+       side's hash set is sorted (they arrive in gram-word order, not hash
+       order) and |∩| is a searchsorted count — the same distinct-element
+       count ``array_intersect`` produced (per-doc gram hashes are distinct
+       words' hashes), computed vectorized instead of per-row hash sets.
+       The final predicate double(i)/double(u) ≥ t is the same arithmetic
+       Catalyst evaluated."""
+    sizes = feats.select(F.col("doc_id"), F.size("grams").alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
+    cand = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .where(
+            F.least("sz_a", "sz_b").cast("double")
+            / F.greatest("sz_a", "sz_b").cast("double")
+            >= F.lit(float(threshold))
+        )
         .select("a_id", "b_id")
     )
+    fa = feats.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("gs_a"))
+    fb = feats.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gs_b"))
+    paired = cand.join(fa, "a_id").join(fb, "b_id").select(
+        "a_id", "b_id", "gs_a", "gs_b"
+    )
+    thr = float(threshold)
+
+    def verify(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            names = rb.schema.names
+            a_id = rb.column(names.index("a_id")).to_numpy()
+            b_id = rb.column(names.index("b_id")).to_numpy()
+            ga = rb.column(names.index("gs_a"))
+            gb = rb.column(names.index("gs_b"))
+            if isinstance(ga, pa.ChunkedArray):
+                ga = ga.combine_chunks()
+            if isinstance(gb, pa.ChunkedArray):
+                gb = gb.combine_chunks()
+            oa = ga.offsets.to_numpy()
+            ob = gb.offsets.to_numpy()
+            va = ga.values.to_numpy(zero_copy_only=False)
+            vb = gb.values.to_numpy(zero_copy_only=False)
+            n = len(a_id)
+            inter = np.empty(n, dtype=np.int64)
+            for r in range(n):
+                a = np.sort(va[oa[r] : oa[r + 1]])
+                b = vb[ob[r] : ob[r + 1]]
+                idx = np.searchsorted(a, b)
+                idx_ok = idx < len(a)
+                inter[r] = int(np.count_nonzero(a[idx[idx_ok]] == b[idx_ok]))
+            union = (oa[1 : n + 1] - oa[:n]) + (ob[1 : n + 1] - ob[:n]) - inter
+            keep = inter.astype(np.float64) / union.astype(np.float64) >= thr
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "a_id": pa.array(a_id[keep], pa.int64()),
+                    "b_id": pa.array(b_id[keep], pa.int64()),
+                }
+            )
+
+    return paired.mapInArrow(verify, "a_id long, b_id long")
 
 
 def minhash_lsh_pairs(

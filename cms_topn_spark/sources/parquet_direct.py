@@ -203,6 +203,40 @@ def _filter_mask(rb: pa.RecordBatch, filters):
     return mask
 
 
+def shard_splits(
+    splits: list[tuple[str, int]], min_splits: int
+) -> list[tuple[str, int, int, int]]:
+    """Fan a too-short split list out to ~``min_splits`` tasks by row RANGES:
+    each (path, row_group) split becomes n ≥ 1 shards (path, row_group,
+    shard, n_shards), shard i folding rows [i·rows/n, (i+1)·rows/n) of its
+    split. The small-input remedy for the one-task-per-file rule: a single
+    12 MB one-row-group file otherwise serializes the whole fold on one
+    core. Each shard re-decodes its split's column chunks (parquet offers
+    no sub-row-group random access), so this trades bounded duplicate
+    decode — cheap for the narrow columns this source exists for — for fold
+    parallelism; at real scale the split list is already ≥ cores long and
+    this returns 1-shard entries unchanged. Only valid for folds whose
+    merged result is partition-layout-independent (the mergeable-sketch
+    contract all consumers of this source satisfy)."""
+    base = [(p, rg, 0, 1) for p, rg in splits]
+    if len(splits) >= min_splits or min_splits <= 1:
+        return base
+    import pyarrow.parquet as pq
+
+    counts = []
+    for p, rg in splits:
+        md = pq.read_metadata(p)
+        counts.append(md.row_group(rg).num_rows if rg >= 0 else md.num_rows)
+    total = sum(counts)
+    if total == 0:
+        return base
+    out: list[tuple[str, int, int, int]] = []
+    for (p, rg), cnt in zip(splits, counts):
+        n = max(1, min(round(min_splits * cnt / total), cnt))
+        out.extend((p, rg, i, n) for i in range(n))
+    return out
+
+
 def map_parquet_batches(
     spark: SparkSession,
     path: str,
@@ -213,6 +247,7 @@ def map_parquet_batches(
     split_row_groups: bool = False,
     splits: list[tuple[str, int]] | None = None,
     filters: list[tuple] | None = None,
+    min_splits: int | None = None,
 ) -> DataFrame:
     """Run ``fold`` (a batches→batches kernel, same contract as a
     ``mapInArrow`` function) over ``columns`` of the parquet data at
@@ -248,14 +283,17 @@ def map_parquet_batches(
         splits = parquet_splits(
             path, files=files, split_row_groups=split_row_groups, filters=filters
         )
+    # ``min_splits`` (see shard_splits): fan small split lists out by row
+    # ranges so the fold's parallelism isn't capped by the file count
+    sharded = shard_splits(splits, min_splits or 0)
     # exactly one split per partition: parallelize's deterministic list
     # slicing, NOT .repartition(n) — round-robin starts at a random offset
     # per input partition, so splits can collide into one task and leave
     # others empty (a straggler wave). This is the module's one RDD touch,
-    # on an n-row list of (path, row_group).
+    # on an n-row list of (path, row_group, shard, n_shards).
     fdf = spark.createDataFrame(
-        spark.sparkContext.parallelize(splits, len(splits)),
-        "path string, row_group int",
+        spark.sparkContext.parallelize(sharded, len(sharded)),
+        "path string, row_group int, shard int, n_shards int",
     )
 
     read_cols = columns
@@ -269,13 +307,18 @@ def map_parquet_batches(
 
         def split_batches() -> Iterator[pa.RecordBatch]:
             for rb in batches:
-                rgs = rb.column(1).to_pylist()
-                for p, rg in zip(rb.column(0).to_pylist(), rgs):
+                for p, rg, shard, n_shards in zip(
+                    rb.column(0).to_pylist(),
+                    rb.column(1).to_pylist(),
+                    rb.column(2).to_pylist(),
+                    rb.column(3).to_pylist(),
+                ):
                     # close each handle as its split is exhausted — a task
                     # over many splits must not hold every fd until GC
                     with pq.ParquetFile(p) as pf:
                         if rg >= 0:
                             kw = {"row_groups": [rg]}
+                            split_rows = pf.metadata.row_group(rg).num_rows
                         elif filters:
                             # whole-file split: the footer is already parsed
                             # by ParquetFile, so re-derive the matching row
@@ -288,11 +331,32 @@ def map_parquet_batches(
                             if not mrgs:
                                 continue
                             kw = {"row_groups": mrgs}
+                            split_rows = sum(
+                                pf.metadata.row_group(g).num_rows for g in mrgs
+                            )
                         else:
                             kw = {}
+                            split_rows = pf.metadata.num_rows
+                        # shard row range over the split's RAW rows (before
+                        # any residual mask) — every shard of a split derives
+                        # the same range bounds, so shards partition the
+                        # split exactly
+                        lo = split_rows * shard // n_shards
+                        hi = split_rows * (shard + 1) // n_shards
+                        pos = 0
                         for raw in pf.iter_batches(
                             columns=read_cols, use_threads=False, **kw
                         ):
+                            nrows = raw.num_rows
+                            if n_shards > 1:
+                                s = max(lo - pos, 0)
+                                e = min(hi - pos, nrows)
+                                pos += nrows
+                                if e <= s:
+                                    if pos >= hi:
+                                        break
+                                    continue
+                                raw = raw.slice(s, e - s)
                             if filters:
                                 # null mask entries = SQL three-valued FALSE
                                 raw = raw.filter(_filter_mask(raw, filters))
