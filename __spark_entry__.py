@@ -78,10 +78,19 @@ def q_cms_topn_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cms_topn_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy-hitter tokens over documents.text; capacity 40 > vocab ⇒ exact."""
-    toks = _t(spark, sf_dir, "documents").select(
-        F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
+    """Heavy-hitter tokens over documents.text; capacity 40 > vocab ⇒ exact.
+
+    The document table is spread to cluster parallelism before the explode
+    (no-op when the scan already has ≥ cores splits): the gate table is one
+    small file, which otherwise serializes tokenize + fold on one core.
+    Result-identical — the linear-update counters are additive and the
+    capacity-exceeds-vocabulary regime retains every token, so partitioning
+    cannot change the output."""
+    from cms_topn_spark.operators.build import spread_small_input
+
+    toks = spread_small_input(
+        _t(spark, sf_dir, "documents").select("text")
+    ).select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
     sk = cms_topn_add_agg(toks, "tok", n=40, e=0.0001)
     return topn(spark, sk).orderBy(F.desc("frequency"), F.asc("item")).limit(20)
 

@@ -147,6 +147,20 @@ def plan_num_partitions(df: DataFrame) -> int:
     return n
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin an under-partitioned input up to the cluster's default
+    parallelism — the small-file remedy for compute-bound pipelines whose
+    scan is a single split (a one-file gate table serializes tokenize/regex
+    work on one core). No-op whenever the plan already has >= cores
+    partitions (any real corpus), so nothing extra moves at scale; callers
+    must be partition-layout-independent (aggregations, per-row maps —
+    not bounded top-n retained sets with order-broken ties)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if plan_num_partitions(df) < parallelism:
+        df = df.repartition(parallelism)
+    return df
+
+
 def invalidate_num_partitions_cache(df: DataFrame | None = None) -> None:
     """Drop memoized partition counts — the cache-bypass hook for callers
     that rewrite an input path within one Spark application (the memo would
@@ -336,10 +350,15 @@ def _collect_states(states: DataFrame, n_parts: int, fanin: int, direct_collect_
     rows = states.collect()
     if merged_df is not None:
         merged_df.unpersist()  # tree_merge_df leaves its last level cached
+    # fold on DESERIALIZED sketches: the merge_serialized chain re-serialized
+    # the accumulator per step, and for big-level KLL states each to_bytes
+    # canonical-sorts every level — O(P·n log n) of pure plumbing on the
+    # driver. merge() on live objects yields the same values (serialization
+    # is a faithful round-trip; KLL's canonical level order never changes a
+    # merge, whose compaction re-sorts the buffer anyway).
     acc = None
     for r in rows:
         if r["state"] is not None:
-            acc = merge_serialized(acc, bytes(r["state"]))
-    if acc is None:
-        return None
-    return sketch_from_bytes(acc)
+            sk = sketch_from_bytes(bytes(r["state"]))
+            acc = sk if acc is None else acc.merge(sk)
+    return acc

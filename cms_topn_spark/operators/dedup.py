@@ -514,6 +514,16 @@ def _signatures_from_hashes(d_u: np.ndarray, h1: np.ndarray, n: int) -> np.ndarr
     block, CHUNK = 32, 16_384
     n_seg = len(seg_starts)
     seg_ends = np.concatenate((seg_starts[1:], [len(d_u)]))
+    # two preallocated scratch planes reused across every (chunk, perm-block)
+    # iteration: the expression form allocated a fresh mul result + shift
+    # temp + subtract temp per block; reusing warm buffers avoids the
+    # per-block allocation/fault churn (a modest single-thread win, bigger
+    # under many concurrent workers sharing the allocator). Same ops, same
+    # bits, written through ``out=``.
+    m = U64(_MERSENNE)
+    sixty_one = U64(61)
+    vals_buf = np.empty((block, CHUNK), dtype=U64)
+    tmp_buf = np.empty((block, CHUNK), dtype=U64)
     s = 0
     while s < n_seg:
         e = s
@@ -524,10 +534,22 @@ def _signatures_from_hashes(d_u: np.ndarray, h1: np.ndarray, n: int) -> np.ndarr
         local_starts = seg_starts[s:e] - lo
         hslice = hv[lo:hi]
         rows = docs_present[s:e]
+        L = hi - lo
+        if L > vals_buf.shape[1]:  # one oversized doc segment
+            vals_buf = np.empty((block, L), dtype=U64)
+            tmp_buf = np.empty((block, L), dtype=U64)
+        vals = vals_buf[:, :L]
+        tmp = tmp_buf[:, :L]
         for p0 in range(0, N_PERM, block):
-            vals = a[p0 : p0 + block][:, None] * hslice[None, :]
-            vals += b[p0 : p0 + block][:, None]
-            _mod_mersenne61_inplace(vals)
+            np.multiply(a[p0 : p0 + block][:, None], hslice[None, :], out=vals)
+            np.add(vals, b[p0 : p0 + block][:, None], out=vals)
+            # mod 2^61-1, the exact fold _mod_mersenne61_inplace documents:
+            # x ≡ (x & M) + (x >> 61), then one wrapped-subtract minimum
+            np.right_shift(vals, sixty_one, out=tmp)
+            np.bitwise_and(vals, m, out=vals)
+            np.add(vals, tmp, out=vals)
+            np.subtract(vals, m, out=tmp)
+            np.minimum(vals, tmp, out=vals)
             out[rows, p0 : p0 + block] = np.minimum.reduceat(vals, local_starts, axis=1).T
         s = e
     return out
@@ -547,14 +569,11 @@ def _band_keys_from_sig(sig: np.ndarray) -> np.ndarray:
 def _spread(df: DataFrame) -> DataFrame:
     """Signature work is CPU-bound in the worker: spread an under-partitioned
     corpus across the cluster before the mapInArrow (no-op at real scale,
-    where the input already has >= cores partitions). The partition probe is
-    memoized by plan semantic hash (see build.plan_num_partitions)."""
-    from .build import plan_num_partitions
+    where the input already has >= cores partitions). Shared helper —
+    see build.spread_small_input."""
+    from .build import spread_small_input
 
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if plan_num_partitions(df) < parallelism:
-        df = df.repartition(parallelism)
-    return df
+    return spread_small_input(df)
 
 
 # docs per kernel invocation: bounds every intermediate (gram buffer,

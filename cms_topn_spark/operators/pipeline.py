@@ -53,8 +53,16 @@ def curate(
 
     The token array and stopword hit counts are STAGED as columns before
     the feature projection (no-CSE-through-lambdas: inlined, each split ran
-    up to 3× per row on the full-corpus hot path)."""
-    staged = stage_stopword_hits(df.select(id_col, text_col), text_col).withColumn(
+    up to 3× per row on the full-corpus hot path). A single-split input is
+    round-robin-spread first so the regex/tokenize feature pass runs at
+    cluster parallelism — no-op at scale (build.spread_small_input); every
+    downstream step (gates are per-row, dedup is a groupBy min) is
+    partitioning-independent."""
+    from .build import spread_small_input
+
+    staged = stage_stopword_hits(
+        spread_small_input(df.select(id_col, text_col)), text_col
+    ).withColumn(
         "_tk", F.expr(f"split({text_col}, ' ')")
     )
     feats = staged.select(
@@ -75,6 +83,20 @@ def curate(
         .alias("dup_token_fx"),
         F.expr("size(_tk)").cast("long").alias("n_tokens"),
     )
+    # Stage the feature frame (digest included, text dropped) BEFORE the
+    # gates: Catalyst pushes the gate predicates below the projection all
+    # the way to the scan, re-inlining every split/filter lambda into the
+    # Filter (~20 split(text) evaluations per row, measured — the same
+    # no-CSE-through-lambdas hazard the _hits staging exists for) and
+    # running them below the spread, on one core. The staged frame is
+    # ~100 B/doc (digest + scalars), the gates become cheap column
+    # references, and every split/regex runs exactly once per row at
+    # cluster parallelism. At petabyte scale this stage goes to a parquet
+    # intermediate instead, like the tfidf tf stage.
+    feats = feats.select(
+        F.md5(F.col(text_col)).alias("_k"), F.col(id_col), "pred_lang",
+        "alpha_ratio_fx", "dup_token_fx", "n_tokens",
+    ).localCheckpoint(eager=True)
     kept = feats.where(
         (F.col("alpha_ratio_fx") >= min_alpha_fx)
         & (F.col("dup_token_fx") <= max_dup_token_fx)
@@ -83,8 +105,7 @@ def curate(
     # dedup on md5(content) so the one exchange moves digests + per-doc
     # features, never the document text (see dedup.exact_dedup)
     return (
-        kept.select(F.md5(F.col(text_col)).alias("_k"), id_col, "pred_lang", "n_tokens")
-        .groupBy("_k")
+        kept.groupBy("_k")
         .agg(
             F.min(id_col).alias(id_col),
             F.min("pred_lang").alias("pred_lang"),

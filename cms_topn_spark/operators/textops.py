@@ -350,10 +350,16 @@ def tfidf_top_terms(
     materialized two independent ShuffleQueryStages, each paying its own
     corpus scan + tokenize + partial aggregate (the measured round-6
     defect). One scan, one tf shuffle. At petabyte scale this stage goes to
-    a parquet intermediate instead."""
+    a parquet intermediate instead. A single-split input (one small file)
+    is round-robin-spread first so tokenize + partial aggregation run at
+    cluster parallelism — no-op at scale (build.spread_small_input); the
+    output is partitioning-independent (exact counts, deterministic
+    ranking)."""
     from pyspark.sql.window import Window
 
-    tok = df.select(
+    from .build import spread_small_input
+
+    tok = spread_small_input(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
     tf = (

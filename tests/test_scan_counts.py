@@ -54,7 +54,11 @@ EXPECTED_SCANS = {
     "winnow_fingerprints": 1,
     "repetition_stats": 1,
     "cosine_near_dup_pairs": 0,  # blocked-GEMM path materializes its stages
-    "curate_corpus": 1,
+    # round 8: the curate feature frame (digest + gate scalars, text
+    # dropped) is staged before the gates — unstaged, Catalyst pushed the
+    # gate predicates to the scan and re-inlined every split/filter lambda
+    # (~20 split(text) per row, below the parallelism spread)
+    "curate_corpus": 0,
     "tfidf_top_terms": 0,  # tf staged (round-6 defect: was 2)
     "kll_length_gate": 1,
     # columnar-direct ingest: tasks read their parquet splits via pyarrow
@@ -91,6 +95,7 @@ EXPECTED_RDD_SCANS = {
     "jaccard_pairs": 3,  # sh: sizes + both self-join sides
     "jaccard_pairs_pruned": 3,  # kept: sizes + both self-join sides
     "tfidf_top_terms": 2,  # tf: df aggregation + score join
+    "curate_corpus": 1,  # staged feature frame: gates + dedup consume it once
 }
 
 
