@@ -1558,7 +1558,9 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_index_build(docs.where(F.col("doc_id") % 3 != 0), d)
     idx = minhash_index_load(spark, d)
     batch = docs.where(F.col("doc_id") % 3 == 0)
-    return incremental_near_dup(batch, idx, threshold=0.8)
+    # index_dir engages the band-bucket layout: the candidate join reads
+    # only the bands partitions matching the batch's own key buckets
+    return incremental_near_dup(batch, idx, threshold=0.8, index_dir=d)
 
 
 def q_fingerprint_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -169,9 +169,16 @@ def _ivf_search(
     )
     # no .distinct(): each vector lives in exactly ONE cell and a query's
     # probe cells are distinct, so the join cannot emit duplicate pairs
+    # the probed-cell set is known driver-side, so push it into the
+    # assignments scan as an IN filter before the join: semantically a
+    # no-op (the equi-join keeps exactly those cells), but parquet can now
+    # skip non-probed cells' row groups at the source — the plan-visible
+    # pruning evidence for the index stage (full-probe lists every cell
+    # and prunes nothing, by construction)
+    probed = sorted({int(c) for cells in probe_cells for c in cells})
     cand = (
         F.broadcast(q_probes)
-        .join(assigned, "cell")
+        .join(assigned.where(F.col("cell").isin(probed)), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
