@@ -699,7 +699,10 @@ def minhash_index_build(df: DataFrame, index_dir: str, id_col: str = "doc_id",
     feats.write.mode("overwrite").parquet(f"{index_dir}/features.parquet")
     loaded = minhash_index_load(df.sparkSession, index_dir)
     (
-        loaded.select("doc_id", F.posexplode("keys").alias("band", "key"))
+        loaded.select(
+            "doc_id", F.size("grams").alias("sz"),
+            F.posexplode("keys").alias("band", "key"),
+        )
         .withColumn("bucket", _band_bucket_col())
         # cluster by bucket before the partitioned write: without it every
         # scan task writes a sliver into every bucket directory
@@ -720,15 +723,18 @@ def minhash_index_load(spark, index_dir: str) -> DataFrame:
 
 
 def minhash_index_bands(spark, index_dir: str, buckets: list[int] | None = None) -> DataFrame:
-    """The index's exploded band-key stage (doc_id, band, key), optionally
-    restricted to ``buckets`` — a literal partition filter, so Spark prunes
-    non-matching ``bucket=…`` directories at planning time and their column
-    chunks are never read (the lakehouse-manifest analogue the round-7
-    verdict asked the near-dup index for)."""
+    """The index's exploded band-key stage (doc_id, sz, band, key; ``sz`` =
+    the doc's gram-set size, carried so the verify's size pre-filter needs
+    no features join), optionally restricted to ``buckets`` — a literal
+    partition filter, so Spark prunes non-matching ``bucket=…`` directories
+    at planning time and their column chunks are never read (the
+    lakehouse-manifest analogue the round-7 verdict asked the near-dup
+    index for)."""
     df = spark.read.parquet(f"{index_dir}/bands.parquet")
     if buckets is not None:
         df = df.where(F.col("bucket").isin([int(b) for b in buckets]))
-    return df.select("doc_id", "band", "key")
+    cols = [c for c in ("doc_id", "sz", "band", "key") if c in df.columns]
+    return df.select(*cols)
 
 
 def minhash_index_append(batch: DataFrame, index_dir: str, id_col: str = "doc_id",
@@ -749,7 +755,10 @@ def minhash_index_append(batch: DataFrame, index_dir: str, id_col: str = "doc_id
     feats = minhash_doc_features(batch, id_col, text_col).localCheckpoint(eager=True)
     feats.write.mode("append").parquet(f"{index_dir}/features.parquet")
     (
-        feats.select("doc_id", F.posexplode("keys").alias("band", "key"))
+        feats.select(
+            "doc_id", F.size("grams").alias("sz"),
+            F.posexplode("keys").alias("band", "key"),
+        )
         .withColumn("bucket", _band_bucket_col())
         .repartition(F.col("bucket"))  # one file per bucket per append
         .write.partitionBy("bucket")
@@ -820,7 +829,12 @@ def incremental_near_dup(
         batch_feats = minhash_doc_features(batch, id_col, text_col)
     bf = batch_feats.persist()
     all_feats = index_feats.unionByName(bf)
-    b_bands = bf.select("doc_id", F.posexplode("keys").alias("band", "key"))
+    # gram-set size rides along the band rows (+8 B/row) so the verify's
+    # size pre-filter needs no extra joins (see _verify_gram_pairs)
+    b_bands = bf.select(
+        "doc_id", F.size("grams").alias("sz"),
+        F.posexplode("keys").alias("band", "key"),
+    )
     a_bands = None
     if index_dir is not None and _os.path.exists(
         _os.path.join(index_dir, "bands.parquet")
@@ -842,11 +856,15 @@ def incremental_near_dup(
         # against the index and the subset test is what makes per-batch
         # I/O O(batch buckets), not O(index).
         if len(buckets) < N_KEY_BUCKETS:
-            a_bands = minhash_index_bands(spark, index_dir, buckets).unionByName(
-                b_bands
-            )
+            stage = minhash_index_bands(spark, index_dir, buckets)
+            if "sz" in stage.columns:  # stages written before the sz column
+                a_bands = stage.unionByName(b_bands)
     if a_bands is None:
-        a_bands = all_feats.select("doc_id", F.posexplode("keys").alias("band", "key"))
+        a_bands = all_feats.select(
+            "doc_id", F.size("grams").alias("sz"),
+            F.posexplode("keys").alias("band", "key"),
+        )
+    lt = F.col("b.doc_id") < F.col("a.doc_id")
     cand = (
         b_bands.alias("b")
         .join(
@@ -858,6 +876,8 @@ def incremental_near_dup(
         .select(
             F.least("b.doc_id", "a.doc_id").alias("a_id"),
             F.greatest("b.doc_id", "a.doc_id").alias("b_id"),
+            F.when(lt, F.col("b.sz")).otherwise(F.col("a.sz")).alias("sz_a"),
+            F.when(lt, F.col("a.sz")).otherwise(F.col("b.sz")).alias("sz_b"),
         )
         .distinct()
     )
@@ -889,7 +909,10 @@ def _verify_gram_pairs(cand: DataFrame, feats: DataFrame, threshold: float) -> D
        rounded(x) ≤ rounded(y), so any pair passing the final rounded
        i/u ≥ t test also passes this one — the filter can only drop pairs
        the verify itself would drop. On the bench corpus it drops ~55 % of
-       candidates before any array moves.
+       candidates before any array moves. Callers that already carry the
+       sizes on the candidate frame (``sz_a``/``sz_b`` — both band-join
+       producers thread them through for free) skip the two size joins
+       entirely; otherwise they are fetched here.
     2. Array fetch for survivors + a sort-merge intersection kernel: each
        side's hash set is sorted (they arrive in gram-word order, not hash
        order) and |∩| is a searchsorted count — the same distinct-element
@@ -897,19 +920,16 @@ def _verify_gram_pairs(cand: DataFrame, feats: DataFrame, threshold: float) -> D
        words' hashes), computed vectorized instead of per-row hash sets.
        The final predicate double(i)/double(u) ≥ t is the same arithmetic
        Catalyst evaluated."""
-    sizes = feats.select(F.col("doc_id"), F.size("grams").alias("sz"))
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
-    cand = (
-        cand.join(sa, "a_id")
-        .join(sb, "b_id")
-        .where(
-            F.least("sz_a", "sz_b").cast("double")
-            / F.greatest("sz_a", "sz_b").cast("double")
-            >= F.lit(float(threshold))
-        )
-        .select("a_id", "b_id")
-    )
+    if not {"sz_a", "sz_b"}.issubset(set(cand.columns)):
+        sizes = feats.select(F.col("doc_id"), F.size("grams").alias("sz"))
+        sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
+        cand = cand.join(sa, "a_id").join(sb, "b_id")
+    cand = cand.where(
+        F.least("sz_a", "sz_b").cast("double")
+        / F.greatest("sz_a", "sz_b").cast("double")
+        >= F.lit(float(threshold))
+    ).select("a_id", "b_id")
     fa = feats.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("gs_a"))
     fb = feats.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gs_b"))
     paired = cand.join(fa, "a_id").join(fb, "b_id").select(
@@ -987,7 +1007,13 @@ def minhash_lsh_pairs(
     ``materialize=False`` returns the lazy plan instead (for composition or
     plan inspection — the caller then owns the feature cache lifetime)."""
     feats = minhash_doc_features(df, id_col, text_col).persist()
-    bandrows = feats.select("doc_id", F.posexplode("keys").alias("band", "key"))
+    # gram-set size rides along the band rows (+8 B/row) so the verify's
+    # size pre-filter needs no extra joins; sizes are functions of the ids,
+    # so the 4-column distinct has the same cardinality
+    bandrows = feats.select(
+        "doc_id", F.size("grams").alias("sz"),
+        F.posexplode("keys").alias("band", "key"),
+    )
     a, b = bandrows.alias("a"), bandrows.alias("b")
     cand = (
         a.join(
@@ -996,7 +1022,10 @@ def minhash_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"),
+            F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"),
+        )
         .distinct()
     )
     verified = _verify_gram_pairs(cand, feats, threshold)
