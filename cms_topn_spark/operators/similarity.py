@@ -603,8 +603,12 @@ def lsh_topk(
     oracle-exact run use the FULL-PROBE regime: ``n_planes=8,
     probe_hamming=8`` enumerates every bucket, making candidates = corpus BY
     CONSTRUCTION (the same explicitly-labeled exactness regime as IVF's
-    n_probe = n_cells), which still exercises the whole signature/bucket-join
-    machinery. The exactness baseline is brute_force_topk (same schema).
+    n_probe = n_cells). Since round 8 that regime enumerates its candidate
+    set directly instead of materializing the equivalent (and n_tables-
+    redundant) bucket join — see :func:`_lsh_candidates_full_probe`; the
+    bucket-join machinery itself is the sublinear path, exercised by the
+    planted-cluster recall gate and the candidate-parity pytest. The
+    exactness baseline is brute_force_topk (same schema).
 
     This form recomputes the corpus signatures on EVERY call. A serving
     pipeline builds them once with :func:`lsh_build` (a persisted parquet
@@ -635,7 +639,33 @@ def _lsh_search(
     """The query stage shared by :func:`lsh_topk` (recompute-per-call) and
     :func:`lsh_query` (build-once-load-query): multi-probe bucket join over
     the signature frame + exact cosine re-rank. ``sigs`` must already be
-    materialized (checkpointed or a parquet stage) — it is consumed twice."""
+    materialized (checkpointed or a parquet stage) — it is consumed twice.
+
+    In the FULL-PROBE exactness regime (``probe_hamming >= n_planes``) the
+    candidate set is queries × corpus ids BY CONSTRUCTION, so the bucket
+    join is skipped outright (:func:`_lsh_candidates_full_probe`); the
+    sublinear production regime goes through the generic bucket join
+    (:func:`_lsh_candidates_join`). Candidate-set parity between the two
+    paths at full probe is pytest-pinned on random corpora."""
+    if probe_hamming >= n_planes:
+        cand = _lsh_candidates_full_probe(sigs, query_ids)
+    else:
+        cand = _lsh_candidates_join(sigs, query_ids, probe_hamming, n_planes)
+    # exact re-rank: vectorized scoring kernel + batch-local top-k pruning,
+    # bit-identical scores to the old per-row HOF cosine (see
+    # _score_candidates_topk); only candidate embeddings are ever fetched —
+    # the unfiltered corpus is still never broadcast
+    return _score_candidates_topk(cand, df, query_ids, k, id_col, vec_col)
+
+
+def _lsh_candidates_join(
+    sigs: DataFrame, query_ids: list[int], probe_hamming: int, n_planes: int
+) -> DataFrame:
+    """Generic multi-probe candidate generation: explode each query's
+    bucket key into its Hamming-≤h probe neighborhood per table and
+    equi-join against the corpus signatures — the sublinear plan whose
+    probe count (Σ_{i≤h} C(n_planes, i) of 2^n_planes keys) is what makes
+    LSH serve without touching most of the corpus."""
     qsigs = sigs.where(F.col("vec_id").isin([int(q) for q in query_ids])).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
@@ -648,18 +678,42 @@ def _lsh_search(
                 F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
             ).alias("bucket"),
         )
-    cand = (
+    return (
         F.broadcast(qsigs)
         .join(sigs, ["tbl", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    # exact re-rank: vectorized scoring kernel + batch-local top-k pruning,
-    # bit-identical scores to the old per-row HOF cosine (see
-    # _score_candidates_topk); only candidate embeddings are ever fetched —
-    # the unfiltered corpus is still never broadcast
-    return _score_candidates_topk(cand, df, query_ids, k, id_col, vec_col)
+
+
+def _lsh_candidates_full_probe(sigs: DataFrame, query_ids: list[int]) -> DataFrame:
+    """Full-probe candidate generation, equivalent to
+    :func:`_lsh_candidates_join` at ``probe_hamming >= n_planes`` — where
+    the mask set enumerates the ENTIRE 2^n_planes key space, so a query's
+    probe set per table is every bucket value (m ↦ bucket⊕m is a bijection
+    of the key space) and every corpus signature row matches exactly one
+    probe row per (query, table). The bucket join's output is therefore
+    known before it runs: present queries × distinct corpus ids, minus
+    self-pairs. Enumerate exactly that instead of materializing the
+    n_tables-redundant join and re-deduplicating it (optimization guide
+    §2.4: remove shuffles whose output the engine cannot know is fixed but
+    we can). Data-independent: :func:`lsh_signatures` emits the same table
+    set for every vector, so any query present in ``sigs`` shares a table
+    with every corpus row. Parity with the generic join is pytest-pinned
+    (tests/test_pipeline_operators.py::test_full_probe_candidate_paths_agree)
+    and the end-to-end full-probe gate keeps its brute-force oracle."""
+    qpresent = (
+        sigs.where(F.col("vec_id").isin([int(q) for q in query_ids]))
+        .select(F.col("vec_id").alias("query_id"))
+        .distinct()
+    )
+    corpus = sigs.select(F.col("vec_id").alias("neighbor_id")).distinct()
+    return (
+        F.broadcast(qpresent)
+        .crossJoin(corpus)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
 
 
 class LshIndex:

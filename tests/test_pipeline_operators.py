@@ -520,6 +520,34 @@ class TestSimilarity:
         )
         assert approx == exact
 
+    def test_full_probe_candidate_paths_agree(self, spark):
+        """_lsh_candidates_full_probe is the algebraic short-circuit of the
+        generic bucket join at probe_hamming >= n_planes: identical
+        candidate SET on a random corpus, including a query id absent from
+        the corpus (which must contribute nothing on both paths) — the
+        equivalence the round-8 full-probe rewrite rests on."""
+        import numpy as np
+
+        from cms_topn_spark.operators import similarity
+
+        rng = np.random.default_rng(7)
+        rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(120)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        sigs = similarity.lsh_signatures(
+            emb, n_planes=4, n_tables=3
+        ).localCheckpoint(eager=True)
+        qids = [0, 17, 55, 999]  # 999 absent from the corpus
+        joined = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity._lsh_candidates_join(sigs, qids, 4, 4).collect()
+        }
+        direct = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity._lsh_candidates_full_probe(sigs, qids).collect()
+        }
+        assert direct == joined
+        assert len(joined) == 3 * 119  # 3 present queries × (120 − self)
+
     def test_cosine_blocked_matches_oracle_and_baseline(self, spark, sf001_dir, con):
         """Block-GEMM exact pairs (the demonstrated, collect-free shape):
         equals the DuckDB oracle at a low threshold (where no LSH regime
