@@ -840,12 +840,6 @@ def incremental_near_dup(
         _os.path.join(index_dir, "bands.parquet")
     ):
         spark = bf.sparkSession
-        buckets = [
-            r["bucket"]
-            for r in b_bands.select(_band_bucket_col().alias("bucket"))
-            .distinct()
-            .collect()
-        ]
         # engage the bucketed stage only when the batch's bucket set is a
         # strict subset — i.e. when partition pruning actually skips index
         # data. A batch big enough to occupy every bucket (the gate-scale
@@ -855,6 +849,27 @@ def incremental_near_dup(
         # growing-corpus scale this operator exists for, batches are tiny
         # against the index and the subset test is what makes per-batch
         # I/O O(batch buckets), not O(index).
+        #
+        # The subset test itself must not cost a full-batch pass: bucket
+        # sets only GROW with more rows, so if a bounded sample of band
+        # rows already occupies every bucket, the full set does too and
+        # the decision is "don't engage" — exactly and cheaply (a
+        # saturated full-batch distinct+collect measured ~1 s per serve
+        # at gate scale, paid for nothing). 64 rows per bucket gives a
+        # miss probability ~N·e^-64 under the key hash's uniformity;
+        # only genuinely small batches (< 64·N band rows ≈ 512 docs)
+        # fall through to the exact full distinct, which is cheap for
+        # them by construction. Either decision is result-identical
+        # (pruned-vs-unpruned parity is pytest-pinned); the sample only
+        # picks which plan computes it.
+        bucket_col = b_bands.select(_band_bucket_col().alias("bucket"))
+        sampled = [
+            r["bucket"]
+            for r in bucket_col.limit(64 * N_KEY_BUCKETS).distinct().collect()
+        ]
+        buckets = sampled
+        if len(sampled) < N_KEY_BUCKETS:
+            buckets = [r["bucket"] for r in bucket_col.distinct().collect()]
         if len(buckets) < N_KEY_BUCKETS:
             stage = minhash_index_bands(spark, index_dir, buckets)
             if "sz" in stage.columns:  # stages written before the sz column
